@@ -1,0 +1,145 @@
+"""racon-compatible CLI (reference: src/main.cpp). Same positional arguments,
+options, defaults, stdout FASTA contract, and error messages; adds
+framework-specific options (--backend, device batching caps) that the
+reference exposes only through its CUDA build."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from . import __version__
+from .errors import RaconError
+from .models.polish_model import PolisherConfig, PolisherType
+from .polisher import create_polisher
+
+HELP = """usage: racon [options ...] <sequences> <overlaps> <target sequences>
+
+    #default output is stdout
+    <sequences>
+        input file in FASTA/FASTQ format (can be compressed with gzip)
+        containing sequences used for correction
+    <overlaps>
+        input file in MHAP/PAF/SAM format (can be compressed with gzip)
+        containing overlaps between sequences and target sequences
+    <target sequences>
+        input file in FASTA/FASTQ format (can be compressed with gzip)
+        containing sequences which will be corrected
+
+    options:
+        -u, --include-unpolished
+            output unpolished target sequences
+        -f, --fragment-correction
+            perform fragment correction instead of contig polishing
+            (overlaps file should contain dual/self overlaps!)
+        -w, --window-length <int>
+            default: 500
+            size of window on which POA is performed
+        -q, --quality-threshold <float>
+            default: 10.0
+            threshold for average base quality of windows used in POA
+        -e, --error-threshold <float>
+            default: 0.3
+            maximum allowed error rate used for filtering overlaps
+        --no-trimming
+            disables consensus trimming at window ends
+        -m, --match <int>
+            default: 3
+            score for matching bases
+        -x, --mismatch <int>
+            default: -5
+            score for mismatching bases
+        -g, --gap <int>
+            default: -4
+            gap penalty (must be negative)
+        -t, --threads <int>
+            default: 1
+            number of threads
+        --backend <str>
+            default: auto
+            compute backend: auto, tpu, native, python
+        --band-width <int>
+            default: 0 (auto: 10%% of mean overlap length)
+            band width for device overlap alignment
+        --max-window-depth <int>
+            default: 200
+            maximum layers per window on the device path
+        --version
+            prints the version number
+        -h, --help
+            prints the usage
+"""
+
+
+def build_config(args) -> PolisherConfig:
+    return PolisherConfig(
+        type=PolisherType.kF if args.fragment_correction else PolisherType.kC,
+        window_length=args.window_length,
+        quality_threshold=args.quality_threshold,
+        error_threshold=args.error_threshold,
+        trim=not args.no_trimming,
+        match=args.match,
+        mismatch=args.mismatch,
+        gap=args.gap,
+        num_threads=args.threads,
+        backend=args.backend,
+        band_width=args.band_width,
+        max_window_depth=args.max_window_depth,
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    parser = argparse.ArgumentParser(add_help=False)
+    parser.add_argument("-u", "--include-unpolished", action="store_true")
+    parser.add_argument("-f", "--fragment-correction", action="store_true")
+    parser.add_argument("-w", "--window-length", type=int, default=500)
+    parser.add_argument("-q", "--quality-threshold", type=float, default=10.0)
+    parser.add_argument("-e", "--error-threshold", type=float, default=0.3)
+    parser.add_argument("-T", "--no-trimming", action="store_true")
+    parser.add_argument("-m", "--match", type=int, default=3)
+    parser.add_argument("-x", "--mismatch", type=int, default=-5)
+    parser.add_argument("-g", "--gap", type=int, default=-4)
+    parser.add_argument("-t", "--threads", type=int, default=1)
+    parser.add_argument("--backend", type=str, default="auto")
+    parser.add_argument("--band-width", type=int, default=0)
+    parser.add_argument("--max-window-depth", type=int, default=200)
+    parser.add_argument("--version", action="store_true")
+    parser.add_argument("-h", "--help", action="store_true")
+    parser.add_argument("inputs", nargs="*")
+
+    try:
+        args = parser.parse_args(argv)
+    except SystemExit:
+        return 1
+
+    if args.version:
+        print(f"v{__version__}")
+        return 0
+    if args.help:
+        print(HELP, end="")
+        return 0
+    if len(args.inputs) < 3:
+        sys.stderr.write("[racon::] error: missing input file(s)!\n")
+        print(HELP, end="")
+        return 1
+
+    try:
+        polisher = create_polisher(args.inputs[0], args.inputs[1],
+                                   args.inputs[2], build_config(args))
+        polisher.initialize()
+        polished = polisher.polish(not args.include_unpolished)
+    except RaconError as e:
+        sys.stderr.write(e.message + "\n")
+        return 1
+
+    out = sys.stdout.buffer
+    for name, data in polished:
+        out.write(b">" + name + b"\n" + data + b"\n")
+    out.flush()
+    polisher.total()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,102 @@
+"""SequenceStore: structure-of-arrays sequence container.
+
+The reference keeps one heap object per sequence (src/sequence.{hpp,cpp});
+here everything lives in two contiguous uint8 blobs (bases, qualities) with
+offset tables, so window/layer extraction is zero-copy numpy slicing and the
+whole store can be handed to native code or packed for the device without
+per-record marshalling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# reverse-complement lookup for ascii bases; non-ACGT maps to itself
+_RC = np.arange(256, dtype=np.uint8)
+for a, b in ((ord("A"), ord("T")), (ord("C"), ord("G"))):
+    _RC[a], _RC[b] = b, a
+
+
+class SequenceStoreBuilder:
+    def __init__(self):
+        self.names: list[bytes] = []
+        self._data_parts: list[bytes] = []
+        self._qual_parts: list[bytes] = []
+
+    def add(self, name: bytes, data: bytes, quality: bytes) -> int:
+        self.names.append(name)
+        self._data_parts.append(data)
+        self._qual_parts.append(quality)
+        return len(self.names) - 1
+
+    def __len__(self) -> int:
+        return len(self.names)
+
+    def finish(self) -> "SequenceStore":
+        n = len(self.names)
+        data_off = np.zeros(n + 1, dtype=np.int64)
+        qual_off = np.zeros(n + 1, dtype=np.int64)
+        for i in range(n):
+            data_off[i + 1] = data_off[i] + len(self._data_parts[i])
+            qual_off[i + 1] = qual_off[i] + len(self._qual_parts[i])
+        blob = np.frombuffer(b"".join(self._data_parts), dtype=np.uint8)
+        qual = np.frombuffer(b"".join(self._qual_parts), dtype=np.uint8)
+        return SequenceStore(list(self.names), blob, data_off, qual, qual_off)
+
+
+class SequenceStore:
+    def __init__(self, names, blob, data_off, qual_blob, qual_off):
+        self.names: list[bytes] = names
+        self.blob: np.ndarray = blob
+        self.data_off: np.ndarray = data_off
+        self.qual_blob: np.ndarray = qual_blob
+        self.qual_off: np.ndarray = qual_off
+        # lazily-populated reverse complements / reversed qualities, keyed by id
+        self._rc: dict[int, np.ndarray] = {}
+        self._rq: dict[int, np.ndarray] = {}
+
+    def __len__(self) -> int:
+        return len(self.names)
+
+    def name(self, i: int) -> bytes:
+        return self.names[i]
+
+    def length(self, i: int) -> int:
+        return int(self.data_off[i + 1] - self.data_off[i])
+
+    def lengths(self) -> np.ndarray:
+        return np.diff(self.data_off)
+
+    def data(self, i: int) -> np.ndarray:
+        return self.blob[self.data_off[i] : self.data_off[i + 1]]
+
+    def quality(self, i: int) -> np.ndarray:
+        """Quality slice; empty array when the record has no quality."""
+        return self.qual_blob[self.qual_off[i] : self.qual_off[i + 1]]
+
+    def has_quality(self, i: int) -> bool:
+        return self.qual_off[i + 1] > self.qual_off[i]
+
+    def total_length(self) -> int:
+        return int(self.data_off[-1])
+
+    def reverse_complement(self, i: int) -> np.ndarray:
+        """Lazy reverse complement (reference: src/sequence.cpp:49-84)."""
+        rc = self._rc.get(i)
+        if rc is None:
+            rc = _RC[self.data(i)][::-1].copy()
+            self._rc[i] = rc
+        return rc
+
+    def reverse_quality(self, i: int) -> np.ndarray:
+        rq = self._rq.get(i)
+        if rq is None:
+            rq = self.quality(i)[::-1].copy()
+            self._rq[i] = rq
+        return rq
+
+    def prepare_reverse(self, ids) -> None:
+        for i in ids:
+            self.reverse_complement(int(i))
+            if self.has_quality(int(i)):
+                self.reverse_quality(int(i))

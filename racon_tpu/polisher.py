@@ -1,0 +1,206 @@
+"""Polisher orchestration: the reference's CLI contract
+(createPolisher -> initialize -> polish, src/polisher.cpp:55-548) re-built
+around columnar data and batched backends.
+
+Stage map (reference -> here):
+  initialize targets/reads ingest + dedup   -> SequenceStore + name/id maps
+  overlap transmute + filtering             -> OverlapTable (vectorized)
+  find_overlap_breaking_points (edlib)      -> AlignStage backend
+       backends: tpu (Pallas banded NW, boundary registers), native (C++),
+       python (numpy oracle)
+  window construction + layer assignment    -> WindowSet (SoA)
+  polish (spoa POA per window)              -> ConsensusStage backend
+       backends: tpu (batched NW kernel + native star-POA), native, python
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from .errors import RaconError
+from .io import open_sequence_parser, open_overlap_parser
+from .core.store import SequenceStore, SequenceStoreBuilder
+from .core.overlaps import OverlapTable
+from .core.breakpoints import breaking_points_from_cigar
+from .core.windows import (WindowSet, stitch, WINDOW_TYPE_NGS,
+                           WINDOW_TYPE_TGS)
+from .models.polish_model import PolisherConfig, PolisherType
+from .utils.logger import Logger
+
+
+def create_polisher(sequences_path: str, overlaps_path: str, target_path: str,
+                    config: PolisherConfig) -> "Polisher":
+    """Validate configuration and open parsers
+    (reference: src/polisher.cpp:55-160)."""
+    if not isinstance(config.type, PolisherType):
+        raise RaconError("[racon::createPolisher] error: invalid polisher type!")
+    if config.window_length == 0:
+        raise RaconError("[racon::createPolisher] error: invalid window length!")
+    sparser = open_sequence_parser(sequences_path)
+    oparser = open_overlap_parser(overlaps_path)
+    tparser = open_sequence_parser(target_path)
+    return Polisher(sparser, oparser, tparser, config)
+
+
+class Polisher:
+    def __init__(self, sparser, oparser, tparser, config: PolisherConfig):
+        self.sparser = sparser
+        self.oparser = oparser
+        self.tparser = tparser
+        self.config = config
+        self.logger = Logger()
+        self.sequences: SequenceStore | None = None
+        self.windows: WindowSet | None = None
+        self.targets_size = 0
+        self.targets_coverages: np.ndarray | None = None
+        self._initialized = False
+
+    # ------------------------------------------------------------------ #
+
+    def initialize(self) -> None:
+        if self._initialized:
+            sys.stderr.write("[racon::Polisher::initialize] warning: "
+                             "object already initialized!\n")
+            return
+        self._initialized = True
+        cfg = self.config
+        log = self.logger
+        log.log()
+
+        builder = SequenceStoreBuilder()
+        self.tparser.parse_into(builder)
+        targets_size = len(builder)
+        if targets_size == 0:
+            raise RaconError("[racon::Polisher::initialize] error: "
+                             "empty target sequences set!")
+        self.targets_size = targets_size
+
+        name_to_id: dict[bytes, int] = {}
+        id_to_id: dict[int, int] = {}
+        for i in range(targets_size):
+            name_to_id[builder.names[i] + b"t"] = i
+            id_to_id[i << 1 | 1] = i
+
+        log.log("[racon::Polisher::initialize] loaded target sequences")
+        log.log()
+
+        # reads; duplicates of targets (same name + equal data/quality length)
+        # share the target's record (reference: src/polisher.cpp:229-264)
+        reads = SequenceStoreBuilder()
+        self.sparser.parse_into(reads)
+        sequences_size = len(reads)
+        if sequences_size == 0:
+            raise RaconError("[racon::Polisher::initialize] error: "
+                             "empty sequences set!")
+        total_sequences_length = 0
+        for i in range(sequences_size):
+            name = reads.names[i]
+            data = reads._data_parts[i]
+            qual = reads._qual_parts[i]
+            total_sequences_length += len(data)
+            tid = name_to_id.get(name + b"t")
+            if tid is not None:
+                if (len(data) != len(builder._data_parts[tid]) or
+                        len(qual) != len(builder._qual_parts[tid])):
+                    raise RaconError(
+                        "[racon::Polisher::initialize] error: duplicate "
+                        "sequence %s with unequal data" % name.decode())
+                name_to_id[name + b"q"] = tid
+                id_to_id[i << 1 | 0] = tid
+            else:
+                internal = builder.add(name, data, qual)
+                name_to_id[name + b"q"] = internal
+                id_to_id[i << 1 | 0] = internal
+
+        sequences = builder.finish()
+        self.sequences = sequences
+
+        window_type = (WINDOW_TYPE_NGS if total_sequences_length /
+                       sequences_size <= 1000 else WINDOW_TYPE_TGS)
+
+        log.log("[racon::Polisher::initialize] loaded sequences")
+        log.log()
+
+        overlaps = self.oparser.parse()
+        overlaps.transmute(sequences, name_to_id, id_to_id)
+        keep = overlaps.filter_invalid(
+            cfg.error_threshold,
+            keep_longest_per_query=(cfg.type == PolisherType.kC))
+        overlaps.compact(keep)
+        if len(overlaps) == 0:
+            raise RaconError("[racon::Polisher::initialize] error: "
+                             "empty overlap set!")
+
+        log.log("[racon::Polisher::initialize] loaded overlaps")
+        log.log()
+
+        # lazy reverse complements for reverse-strand queries
+        # (reference: src/polisher.cpp:337-347,369-378)
+        rev_ids = np.unique(overlaps.q_id[overlaps.strand])
+        sequences.prepare_reverse(rev_ids)
+
+        breaking_points = self._find_breaking_points(overlaps)
+
+        log.log()
+
+        windows = WindowSet(sequences, targets_size, cfg.window_length,
+                            window_type)
+        self.targets_coverages = np.zeros(targets_size, dtype=np.int64)
+        for i in range(len(overlaps)):
+            self.targets_coverages[overlaps.t_id[i]] += 1
+            windows.assign_overlap(breaking_points[i], int(overlaps.q_id[i]),
+                                   int(overlaps.t_id[i]),
+                                   bool(overlaps.strand[i]),
+                                   cfg.quality_threshold)
+        windows.freeze()
+        self.windows = windows
+
+        log.log("[racon::Polisher::initialize] transformed data into windows")
+
+    # ------------------------------------------------------------------ #
+
+    def _find_breaking_points(self, overlaps: OverlapTable) -> list[np.ndarray]:
+        """Dispatch the alignment stage to the configured backend; SAM
+        records that carry a CIGAR are walked directly."""
+        from .backends import get_align_stage
+        stage = get_align_stage(self.config)
+
+        w = self.config.window_length
+        out: list[np.ndarray | None] = [None] * len(overlaps)
+        need_align: list[int] = []
+        for i in range(len(overlaps)):
+            if overlaps.cigars[i]:
+                out[i] = breaking_points_from_cigar(
+                    overlaps.cigars[i], bool(overlaps.strand[i]),
+                    int(overlaps.q_begin[i]), int(overlaps.q_end[i]),
+                    int(overlaps.q_length[i]), int(overlaps.t_begin[i]),
+                    int(overlaps.t_end[i]), w)
+            else:
+                need_align.append(i)
+        if need_align:
+            aligned = stage.breaking_points(
+                overlaps, need_align, self.sequences, w, self.logger)
+            for i, bp in zip(need_align, aligned):
+                out[i] = bp
+        self.logger.log("[racon::Polisher::initialize] aligned overlaps")
+        return out
+
+    # ------------------------------------------------------------------ #
+
+    def polish(self, drop_unpolished_sequences: bool) -> list[tuple[bytes, bytes]]:
+        from .backends import get_consensus_stage
+        cfg = self.config
+        self.logger.log()
+        stage = get_consensus_stage(cfg)
+        consensus, polished = stage.consensus_windows(
+            self.windows, cfg, self.logger)
+        dst = stitch(consensus, polished, self.windows, self.sequences,
+                     self.targets_coverages,
+                     cfg.type == PolisherType.kF, drop_unpolished_sequences)
+        self.logger.log("[racon::Polisher::polish] generated consensus")
+        return dst
+
+    def total(self) -> None:
+        self.logger.total("[racon::Polisher::] total =")

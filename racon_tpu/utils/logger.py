@@ -1,0 +1,44 @@
+"""Stage timers and a 20-bin progress bar on stderr.
+
+Behavioral parity with the reference logger (src/logger.cpp:20-56): log() with
+no message resets the stage timer, log(msg) prints "msg <elapsed> s", bar(msg)
+advances a 20-bin carriage-return progress bar, total(msg) prints cumulative
+wall clock since construction.
+"""
+
+import sys
+import time
+
+
+class Logger:
+    def __init__(self):
+        self._origin = time.monotonic()
+        self._stage = self._origin
+        self._bar_bins = 0
+
+    def log(self, message: str | None = None) -> None:
+        if message is None:
+            self._stage = time.monotonic()
+            return
+        elapsed = time.monotonic() - self._stage
+        sys.stderr.write(f"{message} {elapsed:.6f} s\n")
+        sys.stderr.flush()
+        self._stage = time.monotonic()
+
+    def bar(self, message: str) -> None:
+        self._bar_bins = min(self._bar_bins + 1, 20)
+        filled = "=" * self._bar_bins
+        rest = " " * (20 - self._bar_bins)
+        pct = self._bar_bins * 5
+        sys.stderr.write(f"\r{message} [{filled}{rest}] {pct}%")
+        if self._bar_bins == 20:
+            elapsed = time.monotonic() - self._stage
+            sys.stderr.write(f" {elapsed:.6f} s\n")
+            self._bar_bins = 0
+            self._stage = time.monotonic()
+        sys.stderr.flush()
+
+    def total(self, message: str) -> None:
+        elapsed = time.monotonic() - self._origin
+        sys.stderr.write(f"{message} {elapsed:.6f} s\n")
+        sys.stderr.flush()

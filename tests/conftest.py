@@ -1,0 +1,20 @@
+import os
+
+# tests run on CPU with a virtual 8-device mesh; the real chip is reserved for
+# bench.py. Must be set before jax import anywhere in the test process.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pytest  # noqa: E402
+
+DATA_DIR = "/root/reference/test/data"
+
+
+@pytest.fixture(scope="session")
+def data_dir():
+    if not os.path.isdir(DATA_DIR):
+        pytest.skip("reference test data not available")
+    return DATA_DIR
