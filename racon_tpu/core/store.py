@@ -44,7 +44,39 @@ class SequenceStoreBuilder:
         return SequenceStore(list(self.names), blob, data_off, qual, qual_off)
 
 
+def merge_stores(targets: "SequenceStore", reads: "SequenceStore",
+                 keep_read: np.ndarray) -> "SequenceStore":
+    """Targets first, then the reads with keep_read[i] True (duplicates of
+    targets are dropped by the caller; see polisher ingest)."""
+    idx = np.flatnonzero(keep_read)
+    names = list(targets.names) + [reads.names[i] for i in idx]
+    parts = [targets.blob]
+    qparts = [targets.qual_blob]
+    n_t = len(targets)
+    data_off = np.zeros(len(names) + 1, dtype=np.int64)
+    qual_off = np.zeros(len(names) + 1, dtype=np.int64)
+    data_off[: n_t + 1] = targets.data_off
+    qual_off[: n_t + 1] = targets.qual_off
+    rlen = reads.lengths()[idx]
+    rqlen = np.diff(reads.qual_off)[idx]
+    data_off[n_t + 1 :] = targets.data_off[-1] + np.cumsum(rlen)
+    qual_off[n_t + 1 :] = targets.qual_off[-1] + np.cumsum(rqlen)
+    for i in idx:
+        parts.append(reads.data(int(i)))
+        qparts.append(reads.quality(int(i)))
+    blob = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+    qual = np.concatenate(qparts) if qparts else np.zeros(0, np.uint8)
+    return SequenceStore(names, blob, data_off, qual, qual_off)
+
+
 class SequenceStore:
+    @classmethod
+    def from_parts(cls, names, blob, data_off, qual_blob, qual_off):
+        return cls(names, np.asarray(blob, np.uint8),
+                   np.asarray(data_off, np.int64),
+                   np.asarray(qual_blob, np.uint8),
+                   np.asarray(qual_off, np.int64))
+
     def __init__(self, names, blob, data_off, qual_blob, qual_off):
         self.names: list[bytes] = names
         self.blob: np.ndarray = blob

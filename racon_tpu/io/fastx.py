@@ -96,21 +96,45 @@ def parse_fastq(path: str, builder: SequenceStoreBuilder) -> int:
     return n
 
 
-class FastaParser:
+def _names_from_blob(blob, off) -> list[bytes]:
+    raw = blob.tobytes()
+    return [raw[off[i] : off[i + 1]] for i in range(len(off) - 1)]
+
+
+class _FastxParser:
+    def __init__(self, path: str):
+        self.path = path
+
+    def parse_into(self, builder: SequenceStoreBuilder) -> int:
+        return self._py_parse(self.path, builder)
+
+    def parse_store(self):
+        """Parse into a SequenceStore, via the native runtime when available."""
+        from ..core.store import SequenceStore
+        from ..native import loader
+
+        if loader.available():
+            from ..native import bindings
+            try:
+                (names, name_off, data, data_off, quals,
+                 qual_off) = bindings.parse_fastx(self.path,
+                                                  self.kind == "fastq")
+            except RuntimeError as e:
+                from ..errors import RaconError
+                raise RaconError(f"[racon_tpu::io] error: {e}")
+            return SequenceStore.from_parts(
+                _names_from_blob(names, name_off), data, data_off, quals,
+                qual_off)
+        builder = SequenceStoreBuilder()
+        self._py_parse(self.path, builder)
+        return builder.finish()
+
+
+class FastaParser(_FastxParser):
     kind = "fasta"
-
-    def __init__(self, path: str):
-        self.path = path
-
-    def parse_into(self, builder: SequenceStoreBuilder) -> int:
-        return parse_fasta(self.path, builder)
+    _py_parse = staticmethod(parse_fasta)
 
 
-class FastqParser:
+class FastqParser(_FastxParser):
     kind = "fastq"
-
-    def __init__(self, path: str):
-        self.path = path
-
-    def parse_into(self, builder: SequenceStoreBuilder) -> int:
-        return parse_fastq(self.path, builder)
+    _py_parse = staticmethod(parse_fastq)

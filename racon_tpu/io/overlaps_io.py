@@ -165,31 +165,57 @@ def parse_sam(path: str) -> OverlapTable:
     return table
 
 
-class PafParser:
+def _names_from_blob(blob, off):
+    raw = blob.tobytes()
+    return [raw[off[i] : off[i + 1]] for i in range(len(off) - 1)]
+
+
+def parse_native(path: str, fmt: int) -> OverlapTable:
+    from ..native import bindings
+    try:
+        r = bindings.parse_overlaps(path, fmt)
+    except RuntimeError as e:
+        msg = str(e)
+        if msg.startswith("["):  # reference-exact message (SAM missing cigar)
+            raise RaconError(msg)
+        raise RaconError(f"[racon_tpu::io] error: {msg}")
+    t = OverlapTable()
+    t.q_names = _names_from_blob(r["qname_blob"], r["qname_off"])
+    t.t_names = _names_from_blob(r["tname_blob"], r["tname_off"])
+    t.cigars = _names_from_blob(r["cigar_blob"], r["cigar_off"])
+    for k in ("q_id", "t_id", "q_begin", "q_end", "q_length", "t_begin",
+              "t_end", "t_length", "length"):
+        setattr(t, k, r[k])
+    t.strand = r["strand"].astype(bool)
+    t.is_valid = r["is_valid"].astype(bool)
+    t.error = r["error"]
+    return t
+
+
+class _OverlapParser:
+    def __init__(self, path: str):
+        self.path = path
+
+    def parse(self) -> OverlapTable:
+        from ..native import loader
+        if loader.available():
+            return parse_native(self.path, self.fmt)
+        return self._py_parse(self.path)
+
+
+class PafParser(_OverlapParser):
     kind = "paf"
-
-    def __init__(self, path: str):
-        self.path = path
-
-    def parse(self) -> OverlapTable:
-        return parse_paf(self.path)
+    fmt = 0
+    _py_parse = staticmethod(parse_paf)
 
 
-class MhapParser:
+class MhapParser(_OverlapParser):
     kind = "mhap"
-
-    def __init__(self, path: str):
-        self.path = path
-
-    def parse(self) -> OverlapTable:
-        return parse_mhap(self.path)
+    fmt = 1
+    _py_parse = staticmethod(parse_mhap)
 
 
-class SamParser:
+class SamParser(_OverlapParser):
     kind = "sam"
-
-    def __init__(self, path: str):
-        self.path = path
-
-    def parse(self) -> OverlapTable:
-        return parse_sam(self.path)
+    fmt = 2
+    _py_parse = staticmethod(parse_sam)

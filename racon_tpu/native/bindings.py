@@ -1,0 +1,215 @@
+"""ctypes bindings to libracon_host.so (see src/capi.cpp)."""
+
+from __future__ import annotations
+
+import ctypes as C
+
+import numpy as np
+
+from . import loader
+
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+
+
+def _configure(lib: C.CDLL) -> C.CDLL:
+    lib.rt_last_error.restype = C.c_char_p
+    lib.rt_parse_fastx.restype = C.c_void_p
+    lib.rt_parse_fastx.argtypes = [C.c_char_p, C.c_int32, C.POINTER(C.c_int64),
+                                   C.POINTER(C.c_int64), C.POINTER(C.c_int64),
+                                   C.POINTER(C.c_int64)]
+    lib.rt_fastx_export.argtypes = [C.c_void_p, _u8p, _i64p, _u8p, _i64p,
+                                    _u8p, _i64p]
+    lib.rt_fastx_free.argtypes = [C.c_void_p]
+    lib.rt_parse_overlaps.restype = C.c_void_p
+    lib.rt_parse_overlaps.argtypes = [C.c_char_p, C.c_int32,
+                                      C.POINTER(C.c_int64),
+                                      C.POINTER(C.c_int64),
+                                      C.POINTER(C.c_int64),
+                                      C.POINTER(C.c_int64)]
+    lib.rt_overlaps_export.argtypes = [C.c_void_p, _u8p, _i64p, _u8p, _i64p,
+                                       _u8p, _i64p] + [_i64p] * 9 + \
+        [_u8p, _u8p, _f64p]
+    lib.rt_overlaps_free.argtypes = [C.c_void_p]
+    lib.rt_edit_distance.restype = C.c_int64
+    lib.rt_edit_distance.argtypes = [_u8p, C.c_int64, _u8p, C.c_int64]
+    lib.rt_breaking_points_batch.argtypes = [
+        _u8p, _i64p, _u8p, _i64p, _u8p, _i64p, _i64p, _i64p, _i64p, _i64p,
+        C.c_int64, C.c_int32, C.c_int32, _i64p, _i64p, _i64p]
+    lib.rt_align_batch.argtypes = [
+        _u8p, _i64p, _u8p, _i64p, C.c_int64, C.c_int32, C.c_int32, C.c_int32,
+        C.c_int32, C.c_int32, _i32p, _i64p, _i64p]
+    lib.rt_consensus_batch.argtypes = [
+        C.c_int64, _u8p, _i64p, _i32p, _i64p, _i32p, _i64p, _u8p, _i64p,
+        _i32p, _i32p, _i32p, C.c_void_p, C.c_void_p, C.c_int32, C.c_int32,
+        C.c_int32, C.c_int32, C.c_int32, C.c_int32, _u8p, _i64p, _i64p, _u8p]
+    return lib
+
+
+_cached = None
+
+
+def get_lib() -> C.CDLL | None:
+    global _cached
+    if _cached is None:
+        lib = loader.get()
+        if lib is None:
+            return None
+        _cached = _configure(lib)
+    return _cached
+
+
+def _as_u8(x) -> np.ndarray:
+    return np.ascontiguousarray(x, dtype=np.uint8)
+
+
+def edit_distance(a, b) -> int:
+    lib = get_lib()
+    a = _as_u8(np.frombuffer(a, np.uint8) if isinstance(a, (bytes, bytearray)) else a)
+    b = _as_u8(np.frombuffer(b, np.uint8) if isinstance(b, (bytes, bytearray)) else b)
+    return int(lib.rt_edit_distance(a, len(a), b, len(b)))
+
+
+def parse_fastx(path: str, is_fastq: bool):
+    """Returns (names_blob, name_off, data_blob, data_off, qual_blob, qual_off)."""
+    lib = get_lib()
+    n = C.c_int64()
+    nb = C.c_int64()
+    db = C.c_int64()
+    qb = C.c_int64()
+    h = lib.rt_parse_fastx(path.encode(), 1 if is_fastq else 0, C.byref(n),
+                           C.byref(nb), C.byref(db), C.byref(qb))
+    if not h:
+        raise RuntimeError(lib.rt_last_error().decode())
+    try:
+        names = np.empty(nb.value, np.uint8)
+        data = np.empty(db.value, np.uint8)
+        quals = np.empty(qb.value, np.uint8)
+        name_off = np.empty(n.value + 1, np.int64)
+        data_off = np.empty(n.value + 1, np.int64)
+        qual_off = np.empty(n.value + 1, np.int64)
+        lib.rt_fastx_export(h, names, name_off, data, data_off, quals, qual_off)
+    finally:
+        lib.rt_fastx_free(h)
+    return names, name_off, data, data_off, quals, qual_off
+
+
+def parse_overlaps(path: str, fmt: int):
+    lib = get_lib()
+    n = C.c_int64()
+    qn = C.c_int64()
+    tn = C.c_int64()
+    cg = C.c_int64()
+    h = lib.rt_parse_overlaps(path.encode(), fmt, C.byref(n), C.byref(qn),
+                              C.byref(tn), C.byref(cg))
+    if not h:
+        raise RuntimeError(lib.rt_last_error().decode())
+    try:
+        nv = n.value
+        out = {
+            "qname_blob": np.empty(qn.value, np.uint8),
+            "qname_off": np.empty(nv + 1, np.int64),
+            "tname_blob": np.empty(tn.value, np.uint8),
+            "tname_off": np.empty(nv + 1, np.int64),
+            "cigar_blob": np.empty(cg.value, np.uint8),
+            "cigar_off": np.empty(nv + 1, np.int64),
+            "q_id": np.empty(nv, np.int64),
+            "t_id": np.empty(nv, np.int64),
+            "q_begin": np.empty(nv, np.int64),
+            "q_end": np.empty(nv, np.int64),
+            "q_length": np.empty(nv, np.int64),
+            "t_begin": np.empty(nv, np.int64),
+            "t_end": np.empty(nv, np.int64),
+            "t_length": np.empty(nv, np.int64),
+            "length": np.empty(nv, np.int64),
+            "strand": np.empty(nv, np.uint8),
+            "is_valid": np.empty(nv, np.uint8),
+            "error": np.empty(nv, np.float64),
+        }
+        lib.rt_overlaps_export(
+            h, out["qname_blob"], out["qname_off"], out["tname_blob"],
+            out["tname_off"], out["cigar_blob"], out["cigar_off"], out["q_id"],
+            out["t_id"], out["q_begin"], out["q_end"], out["q_length"],
+            out["t_begin"], out["t_end"], out["t_length"], out["length"],
+            out["strand"], out["is_valid"], out["error"])
+    finally:
+        lib.rt_overlaps_free(h)
+    return out
+
+
+def breaking_points_batch(qblob, qoff, tblob, toff, strand, q_begin, q_end,
+                          q_length, t_begin, t_end, window_length: int,
+                          n_threads: int):
+    """Returns (quads flat int64 (sum_max,4), offsets, counts)."""
+    lib = get_lib()
+    n = len(strand)
+    max_quads = (t_end - t_begin) // window_length + 2
+    out_off = np.zeros(n + 1, np.int64)
+    np.cumsum(max_quads, out=out_off[1:])
+    out = np.zeros(int(out_off[-1]) * 4, np.int64)
+    counts = np.zeros(n, np.int64)
+    lib.rt_breaking_points_batch(
+        _as_u8(qblob), np.ascontiguousarray(qoff, np.int64), _as_u8(tblob),
+        np.ascontiguousarray(toff, np.int64), _as_u8(strand),
+        np.ascontiguousarray(q_begin, np.int64),
+        np.ascontiguousarray(q_end, np.int64),
+        np.ascontiguousarray(q_length, np.int64),
+        np.ascontiguousarray(t_begin, np.int64),
+        np.ascontiguousarray(t_end, np.int64), n, window_length, n_threads,
+        out, out_off, counts)
+    return out.reshape(-1, 4), out_off, counts
+
+
+def align_batch(qblob, qoff, tblob, toff, match, mismatch, gap, edit_mode,
+                n_threads):
+    """Returns (ops flat int32 (sum,2), offsets, counts)."""
+    lib = get_lib()
+    n = len(qoff) - 1
+    qlen = np.diff(np.asarray(qoff))
+    tlen = np.diff(np.asarray(toff))
+    max_ops = qlen + tlen + 2  # run-length ops can never exceed path length
+    out_off = np.zeros(n + 1, np.int64)
+    np.cumsum(max_ops, out=out_off[1:])
+    out = np.zeros(int(out_off[-1]) * 2, np.int32)
+    counts = np.zeros(n, np.int64)
+    lib.rt_align_batch(_as_u8(qblob), np.ascontiguousarray(qoff, np.int64),
+                       _as_u8(tblob), np.ascontiguousarray(toff, np.int64),
+                       n, match, mismatch, gap, 1 if edit_mode else 0,
+                       n_threads, out, out_off, counts)
+    return out.reshape(-1, 2), out_off, counts
+
+
+def consensus_batch(bb_blob, bb_off, bbw_blob, win_id, win_rank, layer_off,
+                    lay_blob, lay_data_off, layw_blob, lay_begin, lay_end,
+                    ops_blob, ops_off, tgs, trim, match, mismatch, gap,
+                    n_threads, out_capacity_per_window):
+    """Returns (consensus blob, out_off, lengths, polished)."""
+    lib = get_lib()
+    n_windows = len(bb_off) - 1
+    out_off = np.zeros(n_windows + 1, np.int64)
+    np.cumsum(out_capacity_per_window, out=out_off[1:])
+    out_blob = np.zeros(int(out_off[-1]), np.uint8)
+    out_len = np.zeros(n_windows, np.int64)
+    out_pol = np.zeros(n_windows, np.uint8)
+    ops_ptr = None
+    ops_off_ptr = None
+    if ops_blob is not None:
+        ops_blob = np.ascontiguousarray(ops_blob, np.int32)
+        ops_off = np.ascontiguousarray(ops_off, np.int64)
+        ops_ptr = ops_blob.ctypes.data_as(C.c_void_p)
+        ops_off_ptr = ops_off.ctypes.data_as(C.c_void_p)
+    lib.rt_consensus_batch(
+        n_windows, _as_u8(bb_blob), np.ascontiguousarray(bb_off, np.int64),
+        np.ascontiguousarray(bbw_blob, np.int32),
+        np.ascontiguousarray(win_id, np.int64),
+        np.ascontiguousarray(win_rank, np.int32),
+        np.ascontiguousarray(layer_off, np.int64), _as_u8(lay_blob),
+        np.ascontiguousarray(lay_data_off, np.int64),
+        np.ascontiguousarray(layw_blob, np.int32),
+        np.ascontiguousarray(lay_begin, np.int32),
+        np.ascontiguousarray(lay_end, np.int32), ops_ptr, ops_off_ptr,
+        1 if tgs else 0, 1 if trim else 0, match, mismatch, gap, n_threads,
+        out_blob, out_off, out_len, out_pol)
+    return out_blob, out_off, out_len, out_pol

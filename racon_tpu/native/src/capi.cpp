@@ -1,0 +1,238 @@
+// C API consumed from Python via ctypes (racon_tpu/native/bindings.py).
+// Handle-based two-call pattern for variable-size results: parse -> sizes,
+// export -> caller-allocated numpy buffers.
+
+#include "align.hpp"
+#include "common.hpp"
+#include "fastx.hpp"
+#include "overlapio.hpp"
+#include "poa.hpp"
+
+#include <mutex>
+
+extern "C" {
+
+// ------------------------------------------------------------------ //
+// error reporting (per-call last error; coarse but sufficient: parsing
+// happens single-threaded from python)
+// ------------------------------------------------------------------ //
+
+static std::string g_last_error;
+static std::mutex g_err_mutex;
+
+const char* rt_last_error() {
+    return g_last_error.c_str();
+}
+
+static void set_error(const std::string& e) {
+    std::lock_guard<std::mutex> lock(g_err_mutex);
+    g_last_error = e;
+}
+
+// ------------------------------------------------------------------ //
+// fastx
+// ------------------------------------------------------------------ //
+
+void* rt_parse_fastx(const char* path, int32_t is_fastq, int64_t* n_records,
+                     int64_t* name_bytes, int64_t* data_bytes,
+                     int64_t* qual_bytes) {
+    auto* res = new rt::FastxResult();
+    std::string err;
+    if (!rt::parse_fastx(path, is_fastq != 0, *res, err)) {
+        set_error(err);
+        delete res;
+        return nullptr;
+    }
+    *n_records = res->size();
+    *name_bytes = static_cast<int64_t>(res->names.size());
+    *data_bytes = static_cast<int64_t>(res->data.size());
+    *qual_bytes = static_cast<int64_t>(res->quals.size());
+    return res;
+}
+
+void rt_fastx_export(void* h, uint8_t* name_blob, int64_t* name_off,
+                     uint8_t* data_blob, int64_t* data_off, uint8_t* qual_blob,
+                     int64_t* qual_off) {
+    auto* res = static_cast<rt::FastxResult*>(h);
+    memcpy(name_blob, res->names.data(), res->names.size());
+    memcpy(data_blob, res->data.data(), res->data.size());
+    memcpy(qual_blob, res->quals.data(), res->quals.size());
+    memcpy(name_off, res->name_off.data(),
+           res->name_off.size() * sizeof(int64_t));
+    memcpy(data_off, res->data_off.data(),
+           res->data_off.size() * sizeof(int64_t));
+    memcpy(qual_off, res->qual_off.data(),
+           res->qual_off.size() * sizeof(int64_t));
+}
+
+void rt_fastx_free(void* h) {
+    delete static_cast<rt::FastxResult*>(h);
+}
+
+// ------------------------------------------------------------------ //
+// overlaps
+// ------------------------------------------------------------------ //
+
+void* rt_parse_overlaps(const char* path, int32_t fmt, int64_t* n_records,
+                        int64_t* qname_bytes, int64_t* tname_bytes,
+                        int64_t* cigar_bytes) {
+    auto* res = new rt::OverlapResult();
+    std::string err;
+    if (!rt::parse_overlaps(path, fmt, *res, err)) {
+        set_error(err);
+        delete res;
+        return nullptr;
+    }
+    *n_records = res->size();
+    *qname_bytes = static_cast<int64_t>(res->qnames.size());
+    *tname_bytes = static_cast<int64_t>(res->tnames.size());
+    *cigar_bytes = static_cast<int64_t>(res->cigars.size());
+    return res;
+}
+
+void rt_overlaps_export(void* h, uint8_t* qname_blob, int64_t* qname_off,
+                        uint8_t* tname_blob, int64_t* tname_off,
+                        uint8_t* cigar_blob, int64_t* cigar_off, int64_t* q_id,
+                        int64_t* t_id, int64_t* q_begin, int64_t* q_end,
+                        int64_t* q_length, int64_t* t_begin, int64_t* t_end,
+                        int64_t* t_length, int64_t* length, uint8_t* strand,
+                        uint8_t* is_valid, double* error) {
+    auto* r = static_cast<rt::OverlapResult*>(h);
+    const int64_t n = r->size();
+    memcpy(qname_blob, r->qnames.data(), r->qnames.size());
+    memcpy(tname_blob, r->tnames.data(), r->tnames.size());
+    memcpy(cigar_blob, r->cigars.data(), r->cigars.size());
+    memcpy(qname_off, r->qname_off.data(), (n + 1) * sizeof(int64_t));
+    memcpy(tname_off, r->tname_off.data(), (n + 1) * sizeof(int64_t));
+    memcpy(cigar_off, r->cigar_off.data(), (n + 1) * sizeof(int64_t));
+    memcpy(q_id, r->q_id.data(), n * sizeof(int64_t));
+    memcpy(t_id, r->t_id.data(), n * sizeof(int64_t));
+    memcpy(q_begin, r->q_begin.data(), n * sizeof(int64_t));
+    memcpy(q_end, r->q_end.data(), n * sizeof(int64_t));
+    memcpy(q_length, r->q_length.data(), n * sizeof(int64_t));
+    memcpy(t_begin, r->t_begin.data(), n * sizeof(int64_t));
+    memcpy(t_end, r->t_end.data(), n * sizeof(int64_t));
+    memcpy(t_length, r->t_length.data(), n * sizeof(int64_t));
+    memcpy(length, r->length.data(), n * sizeof(int64_t));
+    memcpy(strand, r->strand.data(), n);
+    memcpy(is_valid, r->is_valid.data(), n);
+    memcpy(error, r->error.data(), n * sizeof(double));
+}
+
+void rt_overlaps_free(void* h) {
+    delete static_cast<rt::OverlapResult*>(h);
+}
+
+// ------------------------------------------------------------------ //
+// alignment
+// ------------------------------------------------------------------ //
+
+int64_t rt_edit_distance(const uint8_t* a, int64_t alen, const uint8_t* b,
+                         int64_t blen) {
+    return rt::edit_distance(a, alen, b, blen);
+}
+
+// batched overlap alignment -> breaking points
+// out_off[i] = quad offset for item i (caller sized); out_counts[i] = quads
+void rt_breaking_points_batch(
+    const uint8_t* qblob, const int64_t* qoff, const uint8_t* tblob,
+    const int64_t* toff, const uint8_t* strand, const int64_t* q_begin,
+    const int64_t* q_end, const int64_t* q_length, const int64_t* t_begin,
+    const int64_t* t_end, int64_t n, int32_t window_length, int32_t n_threads,
+    int64_t* out_quads, const int64_t* out_off, int64_t* out_counts) {
+    rt::parallel_for(n, n_threads, [&](int64_t i, int32_t) {
+        std::vector<rt::OpRun> ops;
+        const uint8_t* q = qblob + qoff[i];
+        const int64_t qlen = qoff[i + 1] - qoff[i];
+        const uint8_t* t = tblob + toff[i];
+        const int64_t tlen = toff[i + 1] - toff[i];
+        rt::edit_align(q, qlen, t, tlen, ops);
+        out_counts[i] = rt::breaking_points(
+            ops.data(), static_cast<int64_t>(ops.size()), strand[i] != 0,
+            q_begin[i], q_end[i], q_length[i], t_begin[i], t_end[i],
+            window_length, out_quads + out_off[i] * 4,
+            out_off[i + 1] - out_off[i]);
+    });
+}
+
+// batched pairwise alignment returning op lists (used by tests and by the
+// consensus stage when alignments are computed on host)
+// ops packed per item: out_ops[out_ops_off[i]*2 ...] as (op, run) int32 pairs
+void rt_align_batch(const uint8_t* qblob, const int64_t* qoff,
+                    const uint8_t* tblob, const int64_t* toff, int64_t n,
+                    int32_t match, int32_t mismatch, int32_t gap,
+                    int32_t edit_mode, int32_t n_threads, int32_t* out_ops,
+                    const int64_t* out_ops_off, int64_t* out_ops_count) {
+    rt::parallel_for(n, n_threads, [&](int64_t i, int32_t) {
+        std::vector<rt::OpRun> ops;
+        std::vector<uint8_t> moves;
+        std::vector<int32_t> h_prev, h_cur;
+        const uint8_t* q = qblob + qoff[i];
+        const int64_t qlen = qoff[i + 1] - qoff[i];
+        const uint8_t* t = tblob + toff[i];
+        const int64_t tlen = toff[i + 1] - toff[i];
+        if (edit_mode) {
+            rt::edit_align(q, qlen, t, tlen, ops);
+        } else {
+            rt::nw_score_align(q, qlen, t, tlen, match, mismatch, gap, ops,
+                               moves, h_prev, h_cur);
+        }
+        const int64_t cap = out_ops_off[i + 1] - out_ops_off[i];
+        const int64_t cnt =
+            std::min<int64_t>(cap, static_cast<int64_t>(ops.size()));
+        int32_t* dst = out_ops + out_ops_off[i] * 2;
+        for (int64_t k = 0; k < cnt; ++k) {
+            dst[k * 2] = ops[k].op;
+            dst[k * 2 + 1] = ops[k].run;
+        }
+        out_ops_count[i] = cnt;
+    });
+}
+
+// ------------------------------------------------------------------ //
+// window consensus
+// ------------------------------------------------------------------ //
+
+void rt_consensus_batch(
+    int64_t n_windows, const uint8_t* bb_blob, const int64_t* bb_off,
+    const int32_t* bbw_blob, const int64_t* win_id, const int32_t* win_rank,
+    const int64_t* layer_off, const uint8_t* lay_blob,
+    const int64_t* lay_data_off, const int32_t* layw_blob,
+    const int32_t* lay_begin, const int32_t* lay_end, const int32_t* ops_blob,
+    const int64_t* ops_off, int32_t tgs, int32_t trim, int32_t match,
+    int32_t mismatch, int32_t gap, int32_t n_threads, uint8_t* out_blob,
+    const int64_t* out_off, int64_t* out_len, uint8_t* out_polished) {
+    rt::parallel_for(n_windows, n_threads, [&](int64_t w, int32_t) {
+        rt::PoaScratch scratch;
+        const int64_t l0 = layer_off[w];
+        const int64_t l1 = layer_off[w + 1];
+        std::vector<rt::LayerView> layers;
+        layers.reserve(l1 - l0);
+        for (int64_t l = l0; l < l1; ++l) {
+            rt::LayerView v;
+            v.data = lay_blob + lay_data_off[l];
+            v.weights = layw_blob + lay_data_off[l];
+            v.len = lay_data_off[l + 1] - lay_data_off[l];
+            v.begin = lay_begin[l];
+            v.end = lay_end[l];
+            if (ops_blob != nullptr && ops_off != nullptr) {
+                v.ops = reinterpret_cast<const rt::OpRun*>(ops_blob) + ops_off[l];
+                v.n_ops = ops_off[l + 1] - ops_off[l];
+            } else {
+                v.ops = nullptr;
+                v.n_ops = 0;
+            }
+            layers.push_back(v);
+        }
+        bool polished = false;
+        out_len[w] = rt::consensus_window(
+            bb_blob + bb_off[w], static_cast<int32_t>(bb_off[w + 1] - bb_off[w]),
+            bbw_blob + bb_off[w], l1 - l0, layers.data(), tgs != 0, trim != 0,
+            match, mismatch, gap, out_blob + out_off[w],
+            out_off[w + 1] - out_off[w], &polished, win_id[w], win_rank[w],
+            scratch);
+        out_polished[w] = polished ? 1 : 0;
+    });
+}
+
+}  // extern "C"

@@ -1,0 +1,19 @@
+#pragma once
+
+#include "common.hpp"
+
+namespace rt {
+
+struct FastxResult {
+    std::string names, data, quals;
+    std::vector<int64_t> name_off, data_off, qual_off;  // n+1 each
+    int64_t size() const {
+        return static_cast<int64_t>(name_off.size()) - 1;
+    }
+};
+
+bool read_entire_file(const char* path, std::string& out, std::string& err);
+bool parse_fastx(const char* path, bool is_fastq, FastxResult& res,
+                 std::string& err);
+
+}  // namespace rt

@@ -41,8 +41,11 @@ class StarGraph:
         self.node_col = list(range(w))      # backbone column of node, -1 = insertion
         self.ring: dict[tuple[int, int], int] = {}      # (col, base) -> node
         self.col_variants: list[list[int]] = [[] for _ in range(w)]
-        self.ins_child: dict[tuple[int, int], int] = {}  # (prev_node, base) -> node
-        self.ins_after: list[list[int]] = [[] for _ in range(w + 1)]
+        # insertion nodes are column-aligned per gap: keyed (gap, depth, base)
+        # so identical inserted bases from different layers share one node and
+        # votes concentrate (the role graph alignment plays in sequential POA)
+        self.ins_node: dict[tuple[int, int, int], int] = {}
+        self.ins_levels: list[list[list[int]]] = [[] for _ in range(w + 1)]
         self.in_edges: list[list[int]] = [[] for _ in range(w)]   # per node: edge ids
         self.out_edges: list[list[int]] = [[] for _ in range(w)]
         self.edge_tail: list[int] = []
@@ -89,8 +92,11 @@ class StarGraph:
         prev = -1
         q = 0
         t = t_offset
+        ins_depth = 0  # consecutive inserted bases since last match/deletion
         for k in range(len(ops)):
             op, run = int(ops[k, 0]), int(ops[k, 1])
+            if op != OP_INS:
+                ins_depth = 0
             if op == OP_MATCH:
                 for _ in range(run):
                     b = int(data[q])
@@ -112,11 +118,16 @@ class StarGraph:
             elif op == OP_INS:
                 for _ in range(run):
                     b = int(data[q])
-                    node = self.ins_child.get((prev, b))
+                    depth = ins_depth
+                    ins_depth += 1
+                    node = self.ins_node.get((t, depth, b))
                     if node is None:
                         node = self._new_node(b, -1, t)
-                        self.ins_child[(prev, b)] = node
-                        self.ins_after[t].append(node)
+                        self.ins_node[(t, depth, b)] = node
+                        levels = self.ins_levels[t]
+                        while len(levels) <= depth:
+                            levels.append([])
+                        levels[depth].append(node)
                     self.coverage[node] += 1
                     if prev >= 0:
                         self._bump_edge(prev, node,
@@ -129,20 +140,32 @@ class StarGraph:
     # ------------------------------------------------------------------ #
 
     def _rank(self) -> list[int]:
-        """Topological order: per backbone slot, the column group (backbone
-        node then its variants) followed by insertion-trie nodes hanging in
-        the gap before the next column, in creation order (trie creation
-        order is ancestor-first, so this is a valid topo order)."""
+        """Topological order: per backbone slot, the insertion columns of the
+        preceding gap (by depth, then creation), then the column group
+        (backbone node + variants). Edges only flow gap-depth-forward /
+        column-forward, so this is a valid topo order."""
         order: list[int] = []
         for c in range(self.backbone_len):
-            order.extend(self.ins_after[c])
+            for level in self.ins_levels[c]:
+                order.extend(level)
             order.append(c)
             order.extend(self.col_variants[c])
-        order.extend(self.ins_after[self.backbone_len])
+        for level in self.ins_levels[self.backbone_len]:
+            order.extend(level)
         return order
 
     def consensus(self) -> tuple[bytes, np.ndarray]:
-        """Heaviest-bundle consensus + per-base column coverage
+        data, cov, _ = self.consensus_path()
+        return data, cov
+
+    def node_slot_of(self, v: int) -> int:
+        """Backbone slot of a node: its column, or the gap index for
+        insertion nodes (used to project layer coordinates onto a new
+        backbone between refinement passes)."""
+        return self.node_slot[v]
+
+    def consensus_path(self) -> tuple[bytes, np.ndarray, np.ndarray]:
+        """Heaviest-bundle consensus + per-base column coverage + node slots
         (spoa semantics: TraverseHeaviestBundle + BranchCompletion)."""
         n = len(self.base)
         rank = self._rank()
@@ -207,6 +230,7 @@ class StarGraph:
 
         data = bytes(self.base[v] for v in path)
         cov = np.empty(len(path), dtype=np.int64)
+        slots = np.empty(len(path), dtype=np.int64)
         for i, v in enumerate(path):
             c = self.coverage[v]
             col = self.node_col[v]
@@ -216,7 +240,8 @@ class StarGraph:
                 if v != col:
                     c += self.coverage[col]
             cov[i] = c
-        return data, cov
+            slots[i] = self.node_slot[v]
+        return data, cov, slots
 
 
 def consensus_window(backbone: np.ndarray, backbone_qual: np.ndarray | None,

@@ -69,9 +69,8 @@ class Polisher:
         log = self.logger
         log.log()
 
-        builder = SequenceStoreBuilder()
-        self.tparser.parse_into(builder)
-        targets_size = len(builder)
+        targets = self.tparser.parse_store()
+        targets_size = len(targets)
         if targets_size == 0:
             raise RaconError("[racon::Polisher::initialize] error: "
                              "empty target sequences set!")
@@ -80,7 +79,7 @@ class Polisher:
         name_to_id: dict[bytes, int] = {}
         id_to_id: dict[int, int] = {}
         for i in range(targets_size):
-            name_to_id[builder.names[i] + b"t"] = i
+            name_to_id[targets.names[i] + b"t"] = i
             id_to_id[i << 1 | 1] = i
 
         log.log("[racon::Polisher::initialize] loaded target sequences")
@@ -88,33 +87,37 @@ class Polisher:
 
         # reads; duplicates of targets (same name + equal data/quality length)
         # share the target's record (reference: src/polisher.cpp:229-264)
-        reads = SequenceStoreBuilder()
-        self.sparser.parse_into(reads)
+        reads = self.sparser.parse_store()
         sequences_size = len(reads)
         if sequences_size == 0:
             raise RaconError("[racon::Polisher::initialize] error: "
                              "empty sequences set!")
-        total_sequences_length = 0
+        total_sequences_length = int(reads.data_off[-1])
+        rlen = reads.lengths()
+        rqlen = np.diff(reads.qual_off)
+        tqlen = np.diff(targets.qual_off)
+        keep = np.ones(sequences_size, dtype=bool)
+        dup_tid = np.full(sequences_size, -1, dtype=np.int64)
         for i in range(sequences_size):
-            name = reads.names[i]
-            data = reads._data_parts[i]
-            qual = reads._qual_parts[i]
-            total_sequences_length += len(data)
-            tid = name_to_id.get(name + b"t")
+            tid = name_to_id.get(reads.names[i] + b"t")
             if tid is not None:
-                if (len(data) != len(builder._data_parts[tid]) or
-                        len(qual) != len(builder._qual_parts[tid])):
+                if (rlen[i] != targets.length(tid) or
+                        rqlen[i] != tqlen[tid]):
                     raise RaconError(
                         "[racon::Polisher::initialize] error: duplicate "
-                        "sequence %s with unequal data" % name.decode())
-                name_to_id[name + b"q"] = tid
-                id_to_id[i << 1 | 0] = tid
-            else:
-                internal = builder.add(name, data, qual)
-                name_to_id[name + b"q"] = internal
-                id_to_id[i << 1 | 0] = internal
+                        "sequence %s with unequal data"
+                        % reads.names[i].decode())
+                keep[i] = False
+                dup_tid[i] = tid
+        kept_before = np.cumsum(keep) - keep
+        for i in range(sequences_size):
+            internal = (int(dup_tid[i]) if dup_tid[i] >= 0
+                        else targets_size + int(kept_before[i]))
+            name_to_id[reads.names[i] + b"q"] = internal
+            id_to_id[i << 1 | 0] = internal
 
-        sequences = builder.finish()
+        from .core.store import merge_stores
+        sequences = merge_stores(targets, reads, keep)
         self.sequences = sequences
 
         window_type = (WINDOW_TYPE_NGS if total_sequences_length /
