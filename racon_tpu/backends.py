@@ -121,7 +121,8 @@ class PyConsensusStage:
                 windows.backbone(wi), windows.backbone_quality(wi), layers,
                 tgs, cfg.trim, cfg.match, cfg.mismatch, cfg.gap,
                 window_id=int(windows.win_target[wi]),
-                rank=int(windows.win_rank[wi]))
+                rank=int(windows.win_rank[wi]), passes=cfg.refine_passes,
+                cand_frac=cfg.candidate_frac, cand_min=cfg.candidate_min)
             consensus.append(cons)
             polished.append(ok)
             if (wi + 1) % step == 0:

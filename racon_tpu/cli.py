@@ -64,6 +64,12 @@ HELP = """usage: racon [options ...] <sequences> <overlaps> <target sequences>
         --max-window-depth <int>
             default: 200
             maximum layers per window on the device path
+        --refine-passes <int>
+            default: 4
+            iterative consensus refinement passes (1 = single-pass POA)
+        --candidate-frac <float> / --candidate-min <int>
+            default: 0.15 / 2
+            support thresholds for insertion candidates between passes
         --version
             prints the version number
         -h, --help
@@ -85,6 +91,9 @@ def build_config(args) -> PolisherConfig:
         backend=args.backend,
         band_width=args.band_width,
         max_window_depth=args.max_window_depth,
+        refine_passes=args.refine_passes,
+        candidate_frac=args.candidate_frac,
+        candidate_min=args.candidate_min,
     )
 
 
@@ -104,6 +113,9 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--backend", type=str, default="auto")
     parser.add_argument("--band-width", type=int, default=0)
     parser.add_argument("--max-window-depth", type=int, default=200)
+    parser.add_argument("--refine-passes", type=int, default=4)
+    parser.add_argument("--candidate-frac", type=float, default=0.15)
+    parser.add_argument("--candidate-min", type=int, default=2)
     parser.add_argument("--version", action="store_true")
     parser.add_argument("-h", "--help", action="store_true")
     parser.add_argument("inputs", nargs="*")

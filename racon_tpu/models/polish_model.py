@@ -29,6 +29,14 @@ class PolisherConfig:
     num_threads: int = 1
     # backend: "auto" picks tpu when a TPU is visible, else native, else python
     backend: str = "auto"
+    # iterative star-POA refinement (see native/src/poa.hpp RefineParams):
+    # pass 1 aligns layers to the raw backbone; later passes re-align to the
+    # previous consensus expanded with high-support insertion candidates as
+    # zero-deletion-cost columns. 4 passes beats the reference's consensus
+    # accuracy on its golden dataset (see PLAN.md quality gate).
+    refine_passes: int = 4
+    candidate_frac: float = 0.15
+    candidate_min: int = 2
     # device batching caps (cudapoa-inspired shape budget,
     # reference: src/cuda/cudabatch.cpp:56-59, src/cuda/cudapolisher.cpp:226)
     max_layer_len: int = 1024

@@ -44,7 +44,8 @@ def _configure(lib: C.CDLL) -> C.CDLL:
     lib.rt_consensus_batch.argtypes = [
         C.c_int64, _u8p, _i64p, _i32p, _i64p, _i32p, _i64p, _u8p, _i64p,
         _i32p, _i32p, _i32p, C.c_void_p, C.c_void_p, C.c_int32, C.c_int32,
-        C.c_int32, C.c_int32, C.c_int32, C.c_int32, _u8p, _i64p, _i64p, _u8p]
+        C.c_int32, C.c_int32, C.c_int32, C.c_int32, C.c_double, C.c_int32,
+        C.c_int32, _u8p, _i64p, _i64p, _u8p]
     return lib
 
 
@@ -184,7 +185,8 @@ def align_batch(qblob, qoff, tblob, toff, match, mismatch, gap, edit_mode,
 def consensus_batch(bb_blob, bb_off, bbw_blob, win_id, win_rank, layer_off,
                     lay_blob, lay_data_off, layw_blob, lay_begin, lay_end,
                     ops_blob, ops_off, tgs, trim, match, mismatch, gap,
-                    n_threads, out_capacity_per_window):
+                    n_threads, out_capacity_per_window, passes=4,
+                    cand_frac=0.15, cand_min=2):
     """Returns (consensus blob, out_off, lengths, polished)."""
     lib = get_lib()
     n_windows = len(bb_off) - 1
@@ -210,6 +212,6 @@ def consensus_batch(bb_blob, bb_off, bbw_blob, win_id, win_rank, layer_off,
         np.ascontiguousarray(layw_blob, np.int32),
         np.ascontiguousarray(lay_begin, np.int32),
         np.ascontiguousarray(lay_end, np.int32), ops_ptr, ops_off_ptr,
-        1 if tgs else 0, 1 if trim else 0, match, mismatch, gap, n_threads,
-        out_blob, out_off, out_len, out_pol)
+        1 if tgs else 0, 1 if trim else 0, match, mismatch, gap, passes,
+        cand_frac, cand_min, n_threads, out_blob, out_off, out_len, out_pol)
     return out_blob, out_off, out_len, out_pol

@@ -68,14 +68,16 @@ def pack_windows(windows):
 def run_consensus(windows, cfg, packed, ops_blob=None, ops_off=None):
     from ..core.windows import WINDOW_TYPE_TGS
     win_len = np.diff(packed["bb_off"])
-    capacity = win_len * 2 + 512
+    capacity = win_len * 3 + 512
     out_blob, out_off, out_len, out_pol = bindings.consensus_batch(
         packed["bb_blob"], packed["bb_off"], packed["bbw_blob"],
         packed["win_id"], packed["win_rank"], packed["layer_off"],
         packed["lay_blob"], packed["lay_data_off"], packed["layw_blob"],
         packed["lay_begin"], packed["lay_end"], ops_blob, ops_off,
         windows.window_type == WINDOW_TYPE_TGS, cfg.trim, cfg.match,
-        cfg.mismatch, cfg.gap, cfg.num_threads, capacity)
+        cfg.mismatch, cfg.gap, cfg.num_threads, capacity,
+        passes=cfg.refine_passes, cand_frac=cfg.candidate_frac,
+        cand_min=cfg.candidate_min)
     consensus = []
     raw = out_blob.tobytes()
     for w in range(windows.num_windows):

@@ -200,8 +200,13 @@ void rt_consensus_batch(
     const int64_t* lay_data_off, const int32_t* layw_blob,
     const int32_t* lay_begin, const int32_t* lay_end, const int32_t* ops_blob,
     const int64_t* ops_off, int32_t tgs, int32_t trim, int32_t match,
-    int32_t mismatch, int32_t gap, int32_t n_threads, uint8_t* out_blob,
+    int32_t mismatch, int32_t gap, int32_t passes, double cand_frac,
+    int32_t cand_min, int32_t n_threads, uint8_t* out_blob,
     const int64_t* out_off, int64_t* out_len, uint8_t* out_polished) {
+    rt::RefineParams rp;
+    rp.passes = passes;
+    rp.cand_frac = cand_frac;
+    rp.cand_min = cand_min;
     rt::parallel_for(n_windows, n_threads, [&](int64_t w, int32_t) {
         rt::PoaScratch scratch;
         const int64_t l0 = layer_off[w];
@@ -228,7 +233,7 @@ void rt_consensus_batch(
         out_len[w] = rt::consensus_window(
             bb_blob + bb_off[w], static_cast<int32_t>(bb_off[w + 1] - bb_off[w]),
             bbw_blob + bb_off[w], l1 - l0, layers.data(), tgs != 0, trim != 0,
-            match, mismatch, gap, out_blob + out_off[w],
+            match, mismatch, gap, rp, out_blob + out_off[w],
             out_off[w + 1] - out_off[w], &polished, win_id[w], win_rank[w],
             scratch);
         out_polished[w] = polished ? 1 : 0;

@@ -1,8 +1,11 @@
-// Star partial-order consensus -- the native production implementation of
-// racon_tpu/ops/poa_host.py (see that module's docstring for the design and
-// its relation to the reference's spoa engine). Layers arrive either as raw
-// sequences (aligned here with nw_score_align) or with precomputed op lists
-// (the TPU path: device banded-NW produces the alignments).
+// Iterative star partial-order consensus -- the native production
+// implementation of racon_tpu/ops/poa_host.py (see that module's docstring
+// for the design and its relation to the reference's spoa engine).
+//
+// Layers arrive either as raw sequences (aligned here, per-column deletion
+// costs) or with precomputed op lists (the TPU path: device banded-NW
+// produces the alignments; LayerView.begin/end then hold the cur-coordinate
+// span the alignment was computed against).
 
 #include "poa.hpp"
 
@@ -144,8 +147,8 @@ struct Graph {
         }
     }
 
-    // topological order: per slot, gap insertions then backbone node then its
-    // variants (insertion creation order is ancestor-first)
+    // topological order: per slot, gap insertion columns (by depth, then
+    // creation) then the backbone node and its variants
     void rank_order(std::vector<int32_t>& rank) const {
         rank.clear();
         rank.reserve(nodes.size());
@@ -161,14 +164,15 @@ struct Graph {
         }
     }
 
-    // spoa-semantics heaviest bundle + branch completion; fills consensus node
-    // path
+    // spoa-semantics heaviest bundle + branch completion
     void heaviest_bundle(std::vector<int32_t>& path) const {
         const int64_t n = static_cast<int64_t>(nodes.size());
         std::vector<int32_t> rank;
         rank_order(rank);
         std::vector<int32_t> node_rank(n);
-        for (int64_t r = 0; r < n; ++r) node_rank[rank[r]] = static_cast<int32_t>(r);
+        for (int64_t r = 0; r < n; ++r) {
+            node_rank[rank[r]] = static_cast<int32_t>(r);
+        }
         std::vector<int64_t> scores(n, -1);
         std::vector<int32_t> pred(n, -1);
 
@@ -243,12 +247,221 @@ struct Graph {
 
 }  // namespace
 
+// project [begin, end] (original coords) onto cur via cur_slots; apply the
+// reference's 1%-of-backbone full-span rule (src/window.cpp:87-92)
+void project_span(const std::vector<int32_t>& cur_slots, int32_t begin,
+                  int32_t end, int32_t* sub_begin, int32_t* sub_end) {
+    const int32_t n = static_cast<int32_t>(cur_slots.size());
+    int32_t b = static_cast<int32_t>(
+        std::lower_bound(cur_slots.begin(), cur_slots.end(), begin) -
+        cur_slots.begin());
+    int32_t e = static_cast<int32_t>(
+        std::upper_bound(cur_slots.begin(), cur_slots.end(), end) -
+        cur_slots.begin()) - 1;
+    b = std::max(0, std::min(b, n - 1));
+    e = std::max(b, std::min(e, n - 1));
+    const double offset = 0.01 * n;
+    if (b < offset && e > n - offset) {
+        b = 0;
+        e = n - 1;
+    }
+    *sub_begin = b;
+    *sub_end = e;
+}
+
+int64_t nw_score_align_percol(const uint8_t* q, int64_t m, const uint8_t* t,
+                              int64_t n, const int32_t* del_cost,
+                              int32_t match, int32_t mismatch, int32_t gap,
+                              std::vector<OpRun>& ops,
+                              std::vector<uint8_t>& moves,
+                              std::vector<int32_t>& h_prev,
+                              std::vector<int32_t>& h_cur) {
+    ops.clear();
+    if (m == 0) {
+        if (n > 0) ops.push_back({OP_DEL, static_cast<int32_t>(n)});
+        int64_t s = 0;
+        for (int64_t j = 0; j < n; ++j) s += del_cost[j];
+        return s;
+    }
+    if (n == 0) {
+        ops.push_back({OP_INS, static_cast<int32_t>(m)});
+        return static_cast<int64_t>(m) * gap;
+    }
+    moves.resize(static_cast<size_t>(m + 1) * (n + 1));
+    h_prev.resize(n + 1);
+    h_cur.resize(n + 1);
+    h_prev[0] = 0;
+    moves[0] = 3;
+    for (int64_t j = 1; j <= n; ++j) {
+        h_prev[j] = h_prev[j - 1] + del_cost[j - 1];
+        moves[j] = 2;
+    }
+    for (int64_t i = 1; i <= m; ++i) {
+        const uint8_t qc = q[i - 1];
+        h_cur[0] = static_cast<int32_t>(i) * gap;
+        uint8_t* mrow = moves.data() + static_cast<size_t>(i) * (n + 1);
+        mrow[0] = 1;
+        for (int64_t j = 1; j <= n; ++j) {
+            const int32_t diag =
+                h_prev[j - 1] + (qc == t[j - 1] ? match : mismatch);
+            const int32_t up = h_prev[j] + gap;
+            const int32_t left = h_cur[j - 1] + del_cost[j - 1];
+            const int32_t bestv = std::max(diag, std::max(up, left));
+            mrow[j] = (diag == bestv) ? 0 : (up == bestv ? 1 : 2);
+            h_cur[j] = bestv;
+        }
+        std::swap(h_prev, h_cur);
+    }
+    const int64_t score = h_prev[n];
+    std::vector<OpRun> rev;
+    int64_t i = m, j = n;
+    auto push = [&rev](int32_t op) {
+        if (!rev.empty() && rev.back().op == op) {
+            rev.back().run += 1;
+        } else {
+            rev.push_back({op, 1});
+        }
+    };
+    while (i > 0 || j > 0) {
+        const uint8_t mv = moves[static_cast<size_t>(i) * (n + 1) + j];
+        if (mv == 0) {
+            push(OP_MATCH);
+            --i;
+            --j;
+        } else if (mv == 1) {
+            push(OP_INS);
+            --i;
+        } else {
+            push(OP_DEL);
+            --j;
+        }
+    }
+    for (auto it = rev.rbegin(); it != rev.rend(); ++it) {
+        if (!ops.empty() && ops.back().op == it->op) {
+            ops.back().run += it->run;
+        } else {
+            ops.push_back(*it);
+        }
+    }
+    return score;
+}
+
+int64_t poa_round(RoundState& state, int64_t n_layers, const LayerView* layers,
+                  bool final_round, const RefineParams& rp, bool tgs,
+                  bool trim, int32_t gap, uint8_t* out, int64_t out_capacity,
+                  bool* polished, int64_t window_id, int32_t rank) {
+    Graph g;
+    g.init(state.cur.data(), static_cast<int32_t>(state.cur.size()),
+           state.cur_w.data());
+    for (int64_t i = 0; i < n_layers; ++i) {
+        const LayerView& L = layers[i];
+        // ops are required here; begin holds the cur-coordinate span start
+        g.add_path(L.ops, L.n_ops, L.begin, L.data, L.weights);
+    }
+    std::vector<int32_t> path;
+    g.heaviest_bundle(path);
+
+    if (final_round) {
+        int64_t begin = 0;
+        int64_t end = static_cast<int64_t>(path.size()) - 1;
+        if (tgs && trim) {
+            const int64_t average = n_layers / 2;
+            while (begin < static_cast<int64_t>(path.size()) &&
+                   g.column_coverage(path[begin]) < average) {
+                ++begin;
+            }
+            while (end >= 0 && g.column_coverage(path[end]) < average) {
+                --end;
+            }
+            if (begin >= end) {
+                fprintf(stderr,
+                        "[racon::Window::generate_consensus] warning: contig "
+                        "%lld might be chimeric in window %d!\n",
+                        static_cast<long long>(window_id), rank);
+                begin = 0;
+                end = static_cast<int64_t>(path.size()) - 1;
+            }
+        }
+        int64_t n = 0;
+        for (int64_t i = begin; i <= end && n < out_capacity; ++i) {
+            out[n++] = g.nodes[path[i]].base;
+        }
+        if (polished) *polished = true;
+        return n;
+    }
+
+    // intermediate round: expanded backbone = consensus path + off-path
+    // insertion candidates with support >= threshold, as zero-del-cost
+    // optional columns
+    const int64_t thr = std::max<int64_t>(
+        rp.cand_min, static_cast<int64_t>(rp.cand_frac * n_layers));
+    std::vector<uint8_t> on_path(g.nodes.size(), 0);
+    for (int32_t v : path) on_path[v] = 1;
+    const int32_t n_slots = g.backbone_len + 1;
+    std::vector<std::vector<uint8_t>> cand(n_slots);
+    for (int32_t s = 0; s < n_slots; ++s) {
+        for (const auto& level : g.ins_levels[s]) {
+            int32_t best = -1;
+            for (int32_t v : level) {
+                if (on_path[v]) continue;
+                if (g.nodes[v].coverage >= thr &&
+                    (best < 0 ||
+                     g.nodes[v].coverage > g.nodes[best].coverage)) {
+                    best = v;
+                }
+            }
+            if (best >= 0) cand[s].push_back(g.nodes[best].base);
+        }
+    }
+    const int64_t max_len =
+        static_cast<int64_t>(state.cur_slots.size()) * rp.max_growth_num + 64;
+
+    std::vector<uint8_t> new_seq;
+    std::vector<int32_t> new_del, new_slots_local;
+    new_seq.reserve(path.size() + 64);
+    int32_t next_cand_slot = 0;
+    auto emit_cands_upto = [&](int32_t s) {
+        while (next_cand_slot <= s && next_cand_slot < n_slots) {
+            for (uint8_t b : cand[next_cand_slot]) {
+                if (static_cast<int64_t>(new_seq.size()) >= max_len) break;
+                new_seq.push_back(b);
+                new_del.push_back(0);
+                new_slots_local.push_back(next_cand_slot);
+            }
+            ++next_cand_slot;
+        }
+    };
+    for (int32_t v : path) {
+        const int32_t s = g.nodes[v].slot;
+        emit_cands_upto(s);
+        if (static_cast<int64_t>(new_seq.size()) >= max_len) break;
+        new_seq.push_back(g.nodes[v].base);
+        new_del.push_back(gap);
+        new_slots_local.push_back(s);
+    }
+    emit_cands_upto(n_slots - 1);
+
+    // compose slots through to ORIGINAL backbone coordinates
+    std::vector<int32_t> composed(new_seq.size());
+    const int32_t prev_n = static_cast<int32_t>(state.cur_slots.size());
+    for (size_t i = 0; i < new_seq.size(); ++i) {
+        const int32_t sl = std::min(new_slots_local[i], prev_n - 1);
+        composed[i] = state.cur_slots[sl];
+    }
+    state.cur = std::move(new_seq);
+    state.cur_w.assign(state.cur.size(), 0);
+    state.cur_del = std::move(new_del);
+    state.cur_slots = std::move(composed);
+    if (polished) *polished = false;
+    return static_cast<int64_t>(state.cur.size());
+}
+
 int64_t consensus_window(
     const uint8_t* backbone, int32_t backbone_len, const int32_t* backbone_w,
     int64_t n_layers, const LayerView* layers, bool tgs, bool trim,
-    int32_t match, int32_t mismatch, int32_t gap, uint8_t* out,
-    int64_t out_capacity, bool* polished, int64_t window_id, int32_t rank,
-    PoaScratch& scratch) {
+    int32_t match, int32_t mismatch, int32_t gap, const RefineParams& rp,
+    uint8_t* out, int64_t out_capacity, bool* polished, int64_t window_id,
+    int32_t rank, PoaScratch& scratch) {
     if (n_layers < 2) {
         // passthrough (reference: src/window.cpp:68-71)
         const int64_t n = std::min<int64_t>(backbone_len, out_capacity);
@@ -257,60 +470,42 @@ int64_t consensus_window(
         return n;
     }
 
-    Graph g;
-    g.init(backbone, backbone_len, backbone_w);
+    RoundState st;
+    st.cur.assign(backbone, backbone + backbone_len);
+    st.cur_w.assign(backbone_w, backbone_w + backbone_len);
+    st.cur_del.assign(backbone_len, gap);
+    st.cur_slots.resize(backbone_len);
+    for (int32_t c = 0; c < backbone_len; ++c) st.cur_slots[c] = c;
 
-    const double offset = 0.01 * backbone_len;
-    for (int64_t i = 0; i < n_layers; ++i) {
-        const LayerView& L = layers[i];
-        int32_t sub_begin = L.begin, sub_end = L.end;
-        if (L.begin < offset && L.end > backbone_len - offset) {
-            sub_begin = 0;
-            sub_end = backbone_len - 1;
+    const int32_t passes = std::max(1, rp.passes);
+    const bool external_ops = (n_layers > 0 && layers[0].ops != nullptr);
+    std::vector<LayerView> round_layers(layers, layers + n_layers);
+    std::vector<std::vector<OpRun>> all_ops(n_layers);
+    for (int32_t ps = 0; ps < passes; ++ps) {
+        const bool final_round = (ps == passes - 1);
+        if (!(external_ops && ps == 0)) {
+            for (int64_t i = 0; i < n_layers; ++i) {
+                const LayerView& L = layers[i];
+                int32_t sb, se;
+                project_span(st.cur_slots, L.begin, L.end, &sb, &se);
+                nw_score_align_percol(
+                    L.data, L.len, st.cur.data() + sb, se - sb + 1,
+                    st.cur_del.data() + sb, match, mismatch, gap, scratch.ops,
+                    scratch.moves, scratch.h_prev, scratch.h_cur);
+                all_ops[i] = scratch.ops;
+                round_layers[i].ops = all_ops[i].data();
+                round_layers[i].n_ops =
+                    static_cast<int64_t>(all_ops[i].size());
+                round_layers[i].begin = sb;
+                round_layers[i].end = se;
+            }
         }
-        const OpRun* ops = L.ops;
-        int64_t n_ops = L.n_ops;
-        if (ops == nullptr) {
-            nw_score_align(L.data, L.len, backbone + sub_begin,
-                           sub_end - sub_begin + 1, match, mismatch, gap,
-                           scratch.ops, scratch.moves, scratch.h_prev,
-                           scratch.h_cur);
-            ops = scratch.ops.data();
-            n_ops = static_cast<int64_t>(scratch.ops.size());
-        }
-        g.add_path(ops, n_ops, sub_begin, L.data, L.weights);
+        const int64_t n =
+            poa_round(st, n_layers, round_layers.data(), final_round, rp, tgs,
+                      trim, gap, out, out_capacity, polished, window_id, rank);
+        if (final_round) return n;
     }
-
-    std::vector<int32_t> path;
-    g.heaviest_bundle(path);
-
-    int64_t begin = 0;
-    int64_t end = static_cast<int64_t>(path.size()) - 1;
-    if (tgs && trim) {
-        const int64_t average = n_layers / 2;
-        while (begin < static_cast<int64_t>(path.size()) &&
-               g.column_coverage(path[begin]) < average) {
-            ++begin;
-        }
-        while (end >= 0 && g.column_coverage(path[end]) < average) {
-            --end;
-        }
-        if (begin >= end) {
-            fprintf(stderr,
-                    "[racon::Window::generate_consensus] warning: contig %lld "
-                    "might be chimeric in window %d!\n",
-                    static_cast<long long>(window_id), rank);
-            begin = 0;
-            end = static_cast<int64_t>(path.size()) - 1;
-        }
-    }
-
-    int64_t n = 0;
-    for (int64_t i = begin; i <= end && n < out_capacity; ++i) {
-        out[n++] = g.nodes[path[i]].base;
-    }
-    *polished = true;
-    return n;
+    return 0;  // unreachable
 }
 
 }  // namespace rt

@@ -24,14 +24,24 @@ NEG_INF = -(1 << 29)
 
 
 def nw_align(query: np.ndarray, target: np.ndarray, match: int, mismatch: int,
-             gap: int) -> tuple[int, np.ndarray]:
-    """Global alignment; returns (score, ops) with ops rows (op, run)."""
+             gap: int, del_cost: np.ndarray | None = None
+             ) -> tuple[int, np.ndarray]:
+    """Global alignment; returns (score, ops) with ops rows (op, run).
+
+    del_cost, when given, is the per-target-column cost of consuming t[j] by
+    deletion (normally `gap`; 0 marks the refinement passes' "optional"
+    columns). The horizontal closure generalizes the max-plus prefix scan to
+    cumulative costs Gc: H[i,j] = Gc[j] + max_{k<=j}(cand[i,k] - Gc[k]).
+    """
     q = np.asarray(query, dtype=np.uint8)
     t = np.asarray(target, dtype=np.uint8)
     m, n = len(q), len(t)
+    if del_cost is None:
+        del_cost = np.full(n, gap, dtype=np.int32)
+    Gc = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(del_cost, out=Gc[1:])
     H = np.empty((m + 1, n + 1), dtype=np.int32)
-    jg = np.arange(n + 1, dtype=np.int32) * gap
-    H[0] = jg
+    H[0] = Gc
     for i in range(1, m + 1):
         sub_row = np.where(t == q[i - 1], np.int32(match), np.int32(mismatch))
         cand = np.empty(n + 1, dtype=np.int32)
@@ -39,7 +49,7 @@ def nw_align(query: np.ndarray, target: np.ndarray, match: int, mismatch: int,
         # diag and up candidates
         np.maximum(H[i - 1, :n] + sub_row, H[i - 1, 1:] + gap, out=cand[1:])
         # horizontal closure via max-plus prefix scan
-        H[i] = np.maximum.accumulate(cand - jg) + jg
+        H[i] = np.maximum.accumulate(cand - Gc) + Gc
     score = int(H[m, n])
 
     # traceback, re-deriving moves from H (DIAG > UP > LEFT)

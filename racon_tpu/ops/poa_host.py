@@ -227,6 +227,7 @@ class StarGraph:
             path.append(v)
             v = pred[v]
         path.reverse()
+        self.last_path = path
 
         data = bytes(self.base[v] for v in path)
         cov = np.empty(len(path), dtype=np.int64)
@@ -244,52 +245,127 @@ class StarGraph:
         return data, cov, slots
 
 
+def expanded_backbone(graph: StarGraph, path_bases: bytes,
+                      path_slots: np.ndarray, path_nodes: list[int],
+                      n_layers: int, gap: int, cand_frac: float,
+                      cand_min: int, max_len: int):
+    """Consensus path + off-path insertion candidates (support >= threshold)
+    as zero-deletion-cost optional columns. Returns (seq, del_cost, slots)
+    where slots index the graph's backbone coordinates."""
+    thr = max(cand_min, int(cand_frac * n_layers))
+    on_path = set(path_nodes)
+    n_slots = graph.backbone_len + 1
+    cand: dict[int, list[int]] = {}
+    for s in range(n_slots):
+        for level in graph.ins_levels[s]:
+            best = -1
+            for v in level:
+                if v in on_path:
+                    continue
+                if graph.coverage[v] >= thr and (
+                        best < 0 or graph.coverage[v] > graph.coverage[best]):
+                    best = v
+            if best >= 0:
+                cand.setdefault(s, []).append(graph.base[best])
+    seq = bytearray()
+    del_cost: list[int] = []
+    slots: list[int] = []
+    next_cand = 0
+
+    def emit_upto(s):
+        nonlocal next_cand
+        while next_cand <= s and next_cand < n_slots:
+            for b in cand.get(next_cand, ()):
+                if len(seq) >= max_len:
+                    break
+                seq.append(b)
+                del_cost.append(0)
+                slots.append(next_cand)
+            next_cand += 1
+
+    for i, v in enumerate(path_nodes):
+        s = int(path_slots[i])
+        emit_upto(s)
+        if len(seq) >= max_len:
+            break
+        seq.append(graph.base[v])
+        del_cost.append(gap)
+        slots.append(s)
+    emit_upto(n_slots - 1)
+    return (bytes(seq), np.asarray(del_cost, np.int32),
+            np.asarray(slots, np.int64))
+
+
 def consensus_window(backbone: np.ndarray, backbone_qual: np.ndarray | None,
                      layers: list[tuple[np.ndarray, np.ndarray | None, int, int]],
                      window_type_tgs: bool, trim: bool, match: int,
                      mismatch: int, gap: int,
                      window_id: int = 0, rank: int = 0,
-                     align_fn=None) -> tuple[bytes, bool]:
-    """Generate one window's consensus.
+                     passes: int = 4, cand_frac: float = 0.15,
+                     cand_min: int = 2, align_fn=None) -> tuple[bytes, bool]:
+    """Generate one window's consensus with iterative refinement.
 
     layers: (data, quality_or_None, begin, end) sorted by begin; begin/end are
-    inclusive backbone coordinates (reference: src/window.cpp:65-142).
-    Returns (consensus, polished).
+    inclusive ORIGINAL-backbone coordinates (reference: src/window.cpp:65-142).
+    Pass 1 aligns layers to the raw backbone; between passes the backbone is
+    replaced by the consensus expanded with high-support off-path insertion
+    candidates as zero-deletion-cost optional columns, so the next pass's
+    alignments can match them (the role progressive graph alignment plays in
+    the reference's spoa engine). Returns (consensus, polished).
     """
     if len(layers) < 2:
         return backbone.tobytes(), False
     if align_fn is None:
-        align_fn = lambda q, t: nw_align(q, t, match, mismatch, gap)[1]
+        align_fn = lambda q, t, dc: nw_align(q, t, match, mismatch, gap,
+                                             del_cost=dc)[1]
 
-    w = len(backbone)
-    bw = (backbone_qual.astype(np.int32) - 33 if backbone_qual is not None
-          else np.zeros(w, dtype=np.int32))
-    graph = StarGraph(backbone, bw)
-    offset = 0.01 * w
-    for data, qual, begin, end in layers:
-        weights = (qual.astype(np.int32) - 33 if qual is not None
-                   else np.ones(len(data), dtype=np.int32))
-        if begin < offset and end > w - offset:
-            sub_begin, sub_end = 0, w - 1
-        else:
-            sub_begin, sub_end = begin, end
-        ops = align_fn(data, backbone[sub_begin : sub_end + 1])
-        graph.add_path(ops, sub_begin, data, weights)
+    w0 = len(backbone)
+    cur = np.asarray(backbone)
+    cur_bw = (backbone_qual.astype(np.int32) - 33
+              if backbone_qual is not None else np.zeros(w0, dtype=np.int32))
+    cur_del = np.full(w0, gap, dtype=np.int32)
+    cur_slots = np.arange(w0, dtype=np.int64)
+    lay_weights = []
+    for data, qual, _, _ in layers:
+        lay_weights.append(qual.astype(np.int32) - 33 if qual is not None
+                           else np.ones(len(data), dtype=np.int32))
 
-    consensus, coverage = graph.consensus()
-
-    if window_type_tgs and trim:
-        average = len(layers) // 2
-        begin = 0
-        end = len(consensus) - 1
-        while begin < len(consensus) and coverage[begin] < average:
-            begin += 1
-        while end >= 0 and coverage[end] < average:
-            end -= 1
-        if begin >= end:
-            sys.stderr.write(
-                "[racon::Window::generate_consensus] warning: contig %d might "
-                "be chimeric in window %d!\n" % (window_id, rank))
-        else:
-            consensus = consensus[begin : end + 1]
-    return consensus, True
+    for ps in range(max(1, passes)):
+        final = ps == max(1, passes) - 1
+        graph = StarGraph(cur, cur_bw)
+        n = len(cur)
+        offset = 0.01 * n
+        for (data, _, begin, end), weights in zip(layers, lay_weights):
+            b2 = int(np.searchsorted(cur_slots, begin, side="left"))
+            e2 = int(np.searchsorted(cur_slots, end, side="right")) - 1
+            b2 = max(0, min(b2, n - 1))
+            e2 = max(b2, min(e2, n - 1))
+            if b2 < offset and e2 > n - offset:
+                b2, e2 = 0, n - 1
+            ops = align_fn(data, cur[b2 : e2 + 1], cur_del[b2 : e2 + 1])
+            graph.add_path(ops, b2, data, weights)
+        consensus, coverage, slots = graph.consensus_path()
+        if not final:
+            path = graph.last_path
+            seq, cur_del, local_slots = expanded_backbone(
+                graph, consensus, slots, path, len(layers), gap, cand_frac,
+                cand_min, max_len=2 * len(cur_slots) + 64)
+            cur = np.frombuffer(seq, np.uint8)
+            cur_bw = np.zeros(len(cur), dtype=np.int32)
+            cur_slots = cur_slots[np.minimum(local_slots, len(cur_slots) - 1)]
+            continue
+        if window_type_tgs and trim:
+            average = len(layers) // 2
+            begin = 0
+            end = len(consensus) - 1
+            while begin < len(consensus) and coverage[begin] < average:
+                begin += 1
+            while end >= 0 and coverage[end] < average:
+                end -= 1
+            if begin >= end:
+                sys.stderr.write(
+                    "[racon::Window::generate_consensus] warning: contig %d "
+                    "might be chimeric in window %d!\n" % (window_id, rank))
+            else:
+                consensus = consensus[begin : end + 1]
+        return consensus, True
