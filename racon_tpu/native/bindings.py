@@ -41,6 +41,20 @@ def _configure(lib: C.CDLL) -> C.CDLL:
     lib.rt_align_batch.argtypes = [
         _u8p, _i64p, _u8p, _i64p, C.c_int64, C.c_int32, C.c_int32, C.c_int32,
         C.c_int32, C.c_int32, _i32p, _i64p, _i64p]
+    lib.rt_align_batch_percol.argtypes = [
+        _u8p, _i64p, _u8p, _i64p, C.c_void_p, C.c_int64, C.c_int32, C.c_int32,
+        C.c_int32, C.c_int32, C.c_int32, _i32p, _i64p, _i64p]
+    lib.rt_walk_moves_batch.argtypes = [
+        _i32p, _i64p, _i64p, C.c_int64, C.c_int64, C.c_int64, C.c_int64,
+        C.c_int32, _i32p, _i64p, _i64p]
+    lib.rt_opstream_to_ops_batch.argtypes = [
+        np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS"), C.c_int64,
+        C.c_int64, C.c_int32, _i32p, _i64p, _i64p]
+    lib.rt_poa_round_batch.argtypes = [
+        C.c_int64, _u8p, _i64p, _i32p, _i64p, _u8p, _i64p, _i32p, _i32p,
+        _i32p, _i64p, C.c_int32, C.c_int32, C.c_int32, C.c_int32, C.c_double,
+        C.c_int32, C.c_int64, _i64p, _i32p, C.c_int32, _u8p, _i64p, _i64p,
+        _i32p, _i32p, _u8p]
     lib.rt_consensus_batch.argtypes = [
         C.c_int64, _u8p, _i64p, _i32p, _i64p, _i32p, _i64p, _u8p, _i64p,
         _i32p, _i32p, _i32p, C.c_void_p, C.c_void_p, C.c_int32, C.c_int32,
@@ -180,6 +194,93 @@ def align_batch(qblob, qoff, tblob, toff, match, mismatch, gap, edit_mode,
                        n, match, mismatch, gap, 1 if edit_mode else 0,
                        n_threads, out, out_off, counts)
     return out.reshape(-1, 2), out_off, counts
+
+
+def align_batch_percol(qblob, qoff, tblob, toff, del_blob, match, mismatch,
+                       gap, n_threads):
+    """Host NW with per-column deletion costs (del_blob indexed by toff)."""
+    lib = get_lib()
+    n = len(qoff) - 1
+    qlen = np.diff(np.asarray(qoff))
+    tlen = np.diff(np.asarray(toff))
+    out_off = np.zeros(n + 1, np.int64)
+    np.cumsum(qlen + tlen + 2, out=out_off[1:])
+    out = np.zeros(int(out_off[-1]) * 2, np.int32)
+    counts = np.zeros(n, np.int64)
+    del_blob = np.ascontiguousarray(del_blob, np.int32)
+    lib.rt_align_batch_percol(
+        _as_u8(qblob), np.ascontiguousarray(qoff, np.int64), _as_u8(tblob),
+        np.ascontiguousarray(toff, np.int64),
+        del_blob.ctypes.data_as(C.c_void_p), n, match, mismatch, gap, 0,
+        n_threads, out, out_off, counts)
+    return out.reshape(-1, 2), out_off, counts
+
+
+def walk_moves_batch(moves, m, n, m_cap, n_cap, w_band, n_threads):
+    """moves: (B, m_cap//16, w_band) int32. Returns (ops, offsets, counts);
+    counts[i] == -1 flags a band escape."""
+    lib = get_lib()
+    B = len(m)
+    m = np.ascontiguousarray(m, np.int64)
+    n = np.ascontiguousarray(n, np.int64)
+    out_off = np.zeros(B + 1, np.int64)
+    np.cumsum(m + n + 2, out=out_off[1:])
+    out = np.zeros(int(out_off[-1]) * 2, np.int32)
+    counts = np.zeros(B, np.int64)
+    lib.rt_walk_moves_batch(
+        np.ascontiguousarray(moves, np.int32).reshape(-1), m, n, B, m_cap,
+        n_cap, w_band, n_threads, out, out_off, counts)
+    return out.reshape(-1, 2), out_off, counts
+
+
+def opstream_to_ops_batch(codes, m, n, n_threads):
+    """codes: (B, max_steps) int8 backward op streams from the device walk.
+    Returns (ops flat (sum,2) int32, offsets, counts)."""
+    lib = get_lib()
+    B, max_steps = codes.shape
+    m = np.asarray(m)
+    n = np.asarray(n)
+    out_off = np.zeros(B + 1, np.int64)
+    np.cumsum(m + n + 2, out=out_off[1:])
+    out = np.zeros(int(out_off[-1]) * 2, np.int32)
+    counts = np.zeros(B, np.int64)
+    lib.rt_opstream_to_ops_batch(
+        np.ascontiguousarray(codes, np.int8), B, max_steps, n_threads, out,
+        out_off, counts)
+    return out.reshape(-1, 2), out_off, counts
+
+
+def poa_round_batch(cur_blob, cur_off, curw_blob, layer_off, lay_blob,
+                    lay_data_off, layw_blob, lay_span_begin, ops_blob,
+                    ops_off, final_round, tgs, trim, gap, cand_frac, cand_min,
+                    max_expand, win_id, win_rank, n_threads, out_capacity):
+    """One POA merge round over a window batch (device-driver mode).
+
+    Returns (out_blob, out_off, out_len, out_del, out_slots, polished)."""
+    lib = get_lib()
+    n_windows = len(cur_off) - 1
+    out_off = np.zeros(n_windows + 1, np.int64)
+    np.cumsum(out_capacity, out=out_off[1:])
+    total = int(out_off[-1])
+    out_blob = np.zeros(total, np.uint8)
+    out_del = np.zeros(total, np.int32)
+    out_slots = np.zeros(total, np.int32)
+    out_len = np.zeros(n_windows, np.int64)
+    out_pol = np.zeros(n_windows, np.uint8)
+    lib.rt_poa_round_batch(
+        n_windows, _as_u8(cur_blob), np.ascontiguousarray(cur_off, np.int64),
+        np.ascontiguousarray(curw_blob, np.int32),
+        np.ascontiguousarray(layer_off, np.int64), _as_u8(lay_blob),
+        np.ascontiguousarray(lay_data_off, np.int64),
+        np.ascontiguousarray(layw_blob, np.int32),
+        np.ascontiguousarray(lay_span_begin, np.int32),
+        np.ascontiguousarray(ops_blob, np.int32).reshape(-1),
+        np.ascontiguousarray(ops_off, np.int64), 1 if final_round else 0,
+        1 if tgs else 0, 1 if trim else 0, gap, cand_frac, cand_min,
+        max_expand, np.ascontiguousarray(win_id, np.int64),
+        np.ascontiguousarray(win_rank, np.int32), n_threads, out_blob,
+        out_off, out_len, out_del, out_slots, out_pol)
+    return out_blob, out_off, out_len, out_del, out_slots, out_pol
 
 
 def consensus_batch(bb_blob, bb_off, bbw_blob, win_id, win_rank, layer_off,

@@ -396,4 +396,59 @@ int64_t breaking_points(const OpRun* ops, int64_t n_ops, bool strand,
     return n_out;
 }
 
+// ---------------------------------------------------------------------- //
+// device traceback walk: unpack the TPU kernel's packed move planes
+// (racon_tpu/ops/nw_kernel.py layout: 16 query rows per int32 lane, band of
+// width W, j = i + dlo + k) and rebuild op lists, skipping pad ops.
+// ---------------------------------------------------------------------- //
+
+int64_t walk_moves(const int32_t* moves /* (m_cap/16, W) */, int64_t m,
+                   int64_t n, int64_t m_cap, int64_t n_cap, int64_t w_band,
+                   std::vector<OpRun>& ops) {
+    ops.clear();
+    const int64_t dlo = n_cap - m_cap - w_band / 2;
+    int64_t i = m_cap, j = n_cap;
+    std::vector<OpRun> rev;
+    auto push = [&rev](int32_t op) {
+        if (!rev.empty() && rev.back().op == op) {
+            rev.back().run += 1;
+        } else {
+            rev.push_back({op, 1});
+        }
+    };
+    while (i > 0 || j > 0) {
+        int32_t mv;
+        if (i == 0) {
+            mv = 2;
+        } else if (j == 0) {
+            mv = 1;
+        } else {
+            const int64_t k = j - i - dlo;
+            if (k < 0 || k >= w_band) return -1;  // path left the band
+            const int32_t word = moves[((i - 1) / 16) * w_band + k];
+            mv = (word >> (2 * ((i - 1) % 16))) & 3;
+            if (mv == 3) return -1;
+        }
+        if (mv == 0) {
+            if (i <= m && j <= n) push(OP_MATCH);
+            --i;
+            --j;
+        } else if (mv == 1) {
+            if (i <= m) push(OP_INS);
+            --i;
+        } else {
+            if (j <= n) push(OP_DEL);
+            --j;
+        }
+    }
+    for (auto it = rev.rbegin(); it != rev.rend(); ++it) {
+        if (!ops.empty() && ops.back().op == it->op) {
+            ops.back().run += it->run;
+        } else {
+            ops.push_back(*it);
+        }
+    }
+    return static_cast<int64_t>(ops.size());
+}
+
 }  // namespace rt

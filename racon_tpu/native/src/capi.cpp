@@ -12,6 +12,13 @@
 
 extern "C" {
 
+void rt_align_batch_percol(const uint8_t* qblob, const int64_t* qoff,
+                           const uint8_t* tblob, const int64_t* toff,
+                           const int32_t* del_blob, int64_t n, int32_t match,
+                           int32_t mismatch, int32_t gap, int32_t edit_mode,
+                           int32_t n_threads, int32_t* out_ops,
+                           const int64_t* out_ops_off, int64_t* out_ops_count);
+
 // ------------------------------------------------------------------ //
 // error reporting (per-call last error; coarse but sufficient: parsing
 // happens single-threaded from python)
@@ -163,6 +170,19 @@ void rt_align_batch(const uint8_t* qblob, const int64_t* qoff,
                     int32_t match, int32_t mismatch, int32_t gap,
                     int32_t edit_mode, int32_t n_threads, int32_t* out_ops,
                     const int64_t* out_ops_off, int64_t* out_ops_count) {
+    rt_align_batch_percol(qblob, qoff, tblob, toff, nullptr, n, match,
+                          mismatch, gap, edit_mode, n_threads, out_ops,
+                          out_ops_off, out_ops_count);
+}
+
+// del_blob (nullable): per-target-column deletion costs, indexed by toff
+void rt_align_batch_percol(const uint8_t* qblob, const int64_t* qoff,
+                           const uint8_t* tblob, const int64_t* toff,
+                           const int32_t* del_blob, int64_t n, int32_t match,
+                           int32_t mismatch, int32_t gap, int32_t edit_mode,
+                           int32_t n_threads, int32_t* out_ops,
+                           const int64_t* out_ops_off,
+                           int64_t* out_ops_count) {
     rt::parallel_for(n, n_threads, [&](int64_t i, int32_t) {
         std::vector<rt::OpRun> ops;
         std::vector<uint8_t> moves;
@@ -173,6 +193,10 @@ void rt_align_batch(const uint8_t* qblob, const int64_t* qoff,
         const int64_t tlen = toff[i + 1] - toff[i];
         if (edit_mode) {
             rt::edit_align(q, qlen, t, tlen, ops);
+        } else if (del_blob != nullptr) {
+            rt::nw_score_align_percol(q, qlen, t, tlen, del_blob + toff[i],
+                                      match, mismatch, gap, ops, moves,
+                                      h_prev, h_cur);
         } else {
             rt::nw_score_align(q, qlen, t, tlen, match, mismatch, gap, ops,
                                moves, h_prev, h_cur);
@@ -186,6 +210,93 @@ void rt_align_batch(const uint8_t* qblob, const int64_t* qoff,
             dst[k * 2 + 1] = ops[k].run;
         }
         out_ops_count[i] = cnt;
+    });
+}
+
+// walk a batch of device-produced packed move planes into op lists;
+// out_counts[i] = -1 marks a band escape (caller realigns on host)
+void rt_walk_moves_batch(const int32_t* moves, const int64_t* m,
+                         const int64_t* n, int64_t n_items, int64_t m_cap,
+                         int64_t n_cap, int64_t w_band, int32_t n_threads,
+                         int32_t* out_ops, const int64_t* out_ops_off,
+                         int64_t* out_ops_count) {
+    const int64_t plane = (m_cap / 16) * w_band;
+    rt::parallel_for(n_items, n_threads, [&](int64_t i, int32_t) {
+        std::vector<rt::OpRun> ops;
+        const int64_t r = rt::walk_moves(moves + i * plane, m[i], n[i], m_cap,
+                                         n_cap, w_band, ops);
+        if (r < 0) {
+            out_ops_count[i] = -1;
+            return;
+        }
+        const int64_t cap = out_ops_off[i + 1] - out_ops_off[i];
+        const int64_t cnt =
+            std::min<int64_t>(cap, static_cast<int64_t>(ops.size()));
+        int32_t* dst = out_ops + out_ops_off[i] * 2;
+        for (int64_t k = 0; k < cnt; ++k) {
+            dst[k * 2] = ops[k].op;
+            dst[k * 2 + 1] = ops[k].run;
+        }
+        out_ops_count[i] = cnt;
+    });
+}
+
+// one POA merge round for a batch of windows: build graphs from per-layer op
+// lists (spans in cur coordinates), emit final consensus or the expanded
+// backbone for the next round (seq + per-column del costs + local slots).
+void rt_poa_round_batch(
+    int64_t n_windows, const uint8_t* cur_blob, const int64_t* cur_off,
+    const int32_t* curw_blob, const int64_t* layer_off, const uint8_t* lay_blob,
+    const int64_t* lay_data_off, const int32_t* layw_blob,
+    const int32_t* lay_span_begin, const int32_t* ops_blob,
+    const int64_t* ops_off, int32_t final_round, int32_t tgs, int32_t trim,
+    int32_t gap, double cand_frac, int32_t cand_min, int64_t max_expand,
+    const int64_t* win_id, const int32_t* win_rank, int32_t n_threads,
+    uint8_t* out_blob, const int64_t* out_off, int64_t* out_len,
+    int32_t* out_del_blob, int32_t* out_slots_blob, uint8_t* out_polished) {
+    rt::RefineParams rp;
+    rp.cand_frac = cand_frac;
+    rp.cand_min = cand_min;
+    rt::parallel_for(n_windows, n_threads, [&](int64_t w, int32_t) {
+        const int64_t len = cur_off[w + 1] - cur_off[w];
+        rt::RoundState st;
+        st.cur.assign(cur_blob + cur_off[w], cur_blob + cur_off[w + 1]);
+        st.cur_w.assign(curw_blob + cur_off[w], curw_blob + cur_off[w + 1]);
+        st.cur_slots.resize(len);
+        for (int64_t c = 0; c < len; ++c) {
+            st.cur_slots[c] = static_cast<int32_t>(c);  // local slots
+        }
+        const int64_t l0 = layer_off[w], l1 = layer_off[w + 1];
+        std::vector<rt::LayerView> layers(l1 - l0);
+        for (int64_t l = l0; l < l1; ++l) {
+            rt::LayerView& v = layers[l - l0];
+            v.data = lay_blob + lay_data_off[l];
+            v.weights = layw_blob + lay_data_off[l];
+            v.len = lay_data_off[l + 1] - lay_data_off[l];
+            v.begin = lay_span_begin[l];
+            v.end = 0;  // unused when ops are given
+            v.ops = reinterpret_cast<const rt::OpRun*>(ops_blob) + ops_off[l];
+            v.n_ops = ops_off[l + 1] - ops_off[l];
+        }
+        bool polished = false;
+        const int64_t cap = out_off[w + 1] - out_off[w];
+        // cap the expansion to both the caller budget and the device n_cap
+        rp.max_growth_num = 2;
+        int64_t nlen = rt::poa_round(
+            st, l1 - l0, layers.data(), final_round != 0, rp, tgs != 0,
+            trim != 0, gap, out_blob + out_off[w], cap, &polished, win_id[w],
+            win_rank[w]);
+        if (!final_round) {
+            nlen = std::min<int64_t>(
+                nlen, std::min<int64_t>(cap, max_expand));
+            memcpy(out_blob + out_off[w], st.cur.data(), nlen);
+            memcpy(out_del_blob + out_off[w], st.cur_del.data(),
+                   nlen * sizeof(int32_t));
+            memcpy(out_slots_blob + out_off[w], st.cur_slots.data(),
+                   nlen * sizeof(int32_t));
+        }
+        out_len[w] = nlen;
+        out_polished[w] = polished ? 1 : 0;
     });
 }
 
@@ -237,6 +348,39 @@ void rt_consensus_batch(
             out_off[w + 1] - out_off[w], &polished, win_id[w], win_rank[w],
             scratch);
         out_polished[w] = polished ? 1 : 0;
+    });
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// RLE a batch of backward device op streams (codes 0/1/2, 3 = skip) into
+// forward op lists
+void rt_opstream_to_ops_batch(const int8_t* codes, int64_t n_items,
+                              int64_t max_steps, int32_t n_threads,
+                              int32_t* out_ops, const int64_t* out_ops_off,
+                              int64_t* out_ops_count) {
+    rt::parallel_for(n_items, n_threads, [&](int64_t i, int32_t) {
+        const int8_t* s = codes + i * max_steps;
+        int32_t* dst = out_ops + out_ops_off[i] * 2;
+        const int64_t cap = out_ops_off[i + 1] - out_ops_off[i];
+        int64_t cnt = 0;
+        int32_t prev = -1;
+        // stream is backward: scan from the end to emit forward runs
+        for (int64_t k = max_steps - 1; k >= 0; --k) {
+            const int32_t op = s[k];
+            if (op == 3) continue;
+            if (op == prev && cnt > 0) {
+                dst[(cnt - 1) * 2 + 1] += 1;
+            } else if (cnt < cap) {
+                dst[cnt * 2] = op;
+                dst[cnt * 2 + 1] = 1;
+                ++cnt;
+                prev = op;
+            }
+        }
+        out_ops_count[i] = cnt;
     });
 }
 

@@ -1,0 +1,283 @@
+"""Batched banded linear-gap NW — the TPU compute core (Pallas).
+
+This kernel plays the roles of BOTH reference hot loops (SURVEY.md sec
+3.2/3.3): spoa's SIMD sequence-vs-graph DP (as layer-vs-backbone alignment
+inside the star-POA consensus, ops/poa_host.py) and edlib's overlap alignment
+(as the breaking-points producer, with (0,-1,-1) scores).
+
+TPU-first design notes:
+  - items are padded to equal caps (M_CAP == N_CAP) with a pad code that
+    matches itself and hard-rejects real bases, so every item shares ONE
+    static band geometry (diagonal band of width W centered on the corner
+    diagonal). The real alignment's DP values are untouched by padding and
+    the pad tail resolves to a deterministic diagonal + corner gap run that
+    the host walker skips.
+  - rows iterate over the query; the in-row horizontal dependency (deletions,
+    incl. per-column costs for the refinement passes' optional columns) is
+    closed with a max-plus prefix scan over cumulative costs Gc:
+    H[i,k] = Gc[j(k)] + running_max_k(cand[i,k] - Gc[j(k)]), log2(W) steps.
+  - the target/cost rows are LEFT-PADDED by W lanes on the host so every
+    per-row dynamic slice has a non-negative start: no clamping, no rolls.
+  - traceback moves (2 bits, DIAG>UP>LEFT priority) are packed 4 query-rows
+    per byte and written to HBM; the host C++ walker
+    (native/src/align.cpp: rt_walk_moves_batch) reconstructs op lists in
+    O(M+N) per item.
+  - a batch tile of B items rides the VPU sublanes: every op is a (B, W) tile.
+
+Wrapper shapes (per call): q (B, M_CAP) int32 codes, t (B, N_CAP) int32
+codes, gc (B, N_CAP+1) int32 cumulative deletion costs (gc[0]=0). Outputs:
+moves (B, M_CAP//4, W) uint8 (packed) and score (B, 1) int32.
+Codes: 0..4 real (ACGTN), PAD_CODE = 5.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PAD_CODE = 5
+NEG = -(10 ** 5)  # forbids pad-vs-real pairing; far below any real score
+
+# base-code tables shared with host packers
+_CODE = np.full(256, 4, dtype=np.uint8)  # anything unusual -> N
+for i, b in enumerate(b"ACGTN"):
+    _CODE[b] = i
+_DECODE = np.frombuffer(b"ACGTN?", dtype=np.uint8)
+
+
+def encode(seq: np.ndarray) -> np.ndarray:
+    return _CODE[seq]
+
+
+def band_dlo(m_cap: int, n_cap: int, w_band: int) -> int:
+    """j = i + dlo + k for band lane k; shared with the host walker."""
+    return n_cap - m_cap - w_band // 2
+
+
+def _shift_right(x, s, fill):
+    return jnp.concatenate(
+        [jnp.full(x.shape[:-1] + (s,), fill, x.dtype), x[..., :-s]], axis=-1)
+
+
+def _shift_left(x, s, fill):
+    return jnp.concatenate(
+        [x[..., s:], jnp.full(x.shape[:-1] + (s,), fill, x.dtype)], axis=-1)
+
+
+_GROUP = 128  # query rows per aligned-load group
+_PACK = 16    # query rows packed per int32 move word
+
+
+def _align_down(x: int, a: int) -> int:
+    return (x // a) * a
+
+
+def _nw_band_kernel(q_ref, tp_ref, gcp_ref, moves_ref, score_ref,
+                    slot_scr, *, m_cap, n_cap, w_band, match, mismatch, gap):
+    """tp/gcp are left-padded by w_band lanes (see nw_band_batch).
+
+    Mosaic constrains dynamic lane offsets to multiples of 128, so rows are
+    processed in groups of 128: each group does one 128-aligned chunk load of
+    q/t/Gc, then a shift register advances the band window one lane per row
+    (all in-loop slices are static). Traceback moves pack 16 rows per int32
+    lane; each group writes its 8 packed rows through predicated static-slot
+    stores into scratch, then one aligned store to the output block.
+    """
+    B = q_ref.shape[0]
+    W = w_band
+    dlo = band_dlo(m_cap, n_cap, W)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+    REG = W + 256  # shift-register width: OFF + W + 127 <= REG
+    base_t = _align_down(W + dlo, _GROUP)        # static aligned base offset
+    off_t = W + dlo - base_t                     # static in [0, 128)
+    n_groups = m_cap // _GROUP
+    slots = _GROUP // _PACK
+
+    # row 0: H[0][j] = Gc[j] for valid j (0..n_cap), else NEG
+    j0 = dlo + kidx
+    g0 = jax.lax.slice(gcp_ref[...], (0, W + dlo), (B, W + dlo + W))
+    h0 = jnp.where((j0 >= 0) & (j0 <= n_cap), g0, NEG)
+
+    def group_body(g, hprev):
+        gbase = pl.multiple_of(g * _GROUP, _GROUP)
+        q_reg0 = q_ref[:, pl.ds(gbase, _GROUP)]
+        t_reg0 = tp_ref[:, pl.ds(gbase + base_t, REG)]
+        gc_reg0 = gcp_ref[:, pl.ds(gbase + base_t, REG)]
+
+        def pack_body(p, carry):
+            # one step = _PACK query rows, fully unrolled with static slices;
+            # the band registers shift left by _PACK once per step
+            hp, q_reg, t_reg, gc_reg = carry
+            i0 = g * _GROUP + p * _PACK + 1
+            pack = jnp.zeros((B, W), jnp.int32)
+            for u in range(_PACK):
+                i = i0 + u
+                jrow = i + dlo + kidx
+                valid = (jrow >= 1) & (jrow <= n_cap)
+                t_row = jax.lax.slice(t_reg, (0, off_t + u),
+                                      (B, off_t + u + W))
+                gc_here = jax.lax.slice(gc_reg, (0, off_t + u + 1),
+                                        (B, off_t + u + 1 + W))
+                qi = jax.lax.slice(q_reg, (0, u), (B, u + 1))
+
+                same = t_row == qi
+                one_pad = (t_row == PAD_CODE) ^ (qi == PAD_CODE)
+                sub = jnp.where(one_pad, NEG, jnp.where(same, match, mismatch))
+
+                diag_c = hp + sub
+                up_c = _shift_left(hp, 1, NEG) + gap
+                cand = jnp.maximum(diag_c, up_c)
+                cand = jnp.where(jrow == 0, i * gap, cand)  # first column
+                cand = jnp.where(valid | (jrow == 0), cand, NEG)
+
+                # horizontal closure (deletion chains, per-column costs)
+                a = cand - gc_here
+                s = 1
+                while s < W:
+                    a = jnp.maximum(a, _shift_right(a, s, 2 * NEG))
+                    s *= 2
+                h = a + gc_here
+                h = jnp.where(valid | (jrow == 0), h, NEG)
+
+                # moves with DIAG > UP > LEFT priority
+                mv = jnp.where(h == diag_c, 0, jnp.where(h == up_c, 1, 2))
+                mv = jnp.where(valid, mv, 3)
+                pack = pack | (mv << (2 * u))
+                hp = h
+
+            for s_i in range(slots):
+                @pl.when(p == s_i)
+                def _():
+                    slot_scr[:, s_i, :] = pack
+
+            q_reg = _shift_left(q_reg, _PACK, PAD_CODE)
+            t_reg = _shift_left(t_reg, _PACK, PAD_CODE)
+            gc_reg = _shift_left(gc_reg, _PACK, 0)
+            return (hp, q_reg, t_reg, gc_reg)
+
+        hprev, *_ = jax.lax.fori_loop(0, _GROUP // _PACK, pack_body,
+                                      (hprev, q_reg0, t_reg0, gc_reg0))
+        gslot = pl.multiple_of(g * slots, 8)
+        moves_ref[:, pl.ds(gslot, slots), :] = slot_scr[...]
+        return hprev
+
+    h_final = jax.lax.fori_loop(0, n_groups, group_body, h0)
+    k_end = n_cap - m_cap - dlo
+    score_ref[...] = jax.lax.slice(h_final, (0, k_end), (B, k_end + 1))
+
+
+B_TILE = 16  # items per grid step (VPU sublane granularity x2)
+
+
+@functools.partial(jax.jit, static_argnames=("m_cap", "n_cap", "w_band",
+                                             "match", "mismatch", "gap",
+                                             "interpret"))
+def nw_band_batch(q, t, gc, *, m_cap, n_cap, w_band, match, mismatch, gap,
+                  interpret=False):
+    """q (B, M_CAP) int32, t (B, N_CAP) int32, gc (B, N_CAP+1) int32.
+    B must be a multiple of B_TILE (pad with all-PAD items).
+
+    Returns (moves (B, M_CAP//16, W) int32 packed planes, score (B, 1) int32).
+    """
+    B = q.shape[0]
+    assert m_cap % _GROUP == 0, "m_cap must be a multiple of 128"
+    if B % B_TILE:  # pad the batch with all-PAD items
+        extra = B_TILE - B % B_TILE
+        q = jnp.pad(q, ((0, extra), (0, 0)), constant_values=PAD_CODE)
+        t = jnp.pad(t, ((0, extra), (0, 0)), constant_values=PAD_CODE)
+        gc = jnp.pad(gc, ((0, extra), (0, 0)))
+        B += extra
+    # pad target/costs on BOTH sides so every group chunk load is fully in
+    # range: left pad W (row slices reach j = dlo + k < 0 early on), right pad
+    # covers the last group's register reach
+    right = w_band + 256
+    tp = jnp.pad(t, ((0, 0), (w_band, right)), constant_values=PAD_CODE)
+    gcp = jnp.pad(gc, ((0, 0), (w_band, 0)), constant_values=0)
+    gcp = jnp.pad(gcp, ((0, 0), (0, right)), mode="edge")
+    kernel = functools.partial(_nw_band_kernel, m_cap=m_cap, n_cap=n_cap,
+                               w_band=w_band, match=match, mismatch=mismatch,
+                               gap=gap)
+    grid = (B // B_TILE,)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, m_cap // _PACK, w_band), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec((B_TILE, q.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_TILE, tp.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_TILE, gcp.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((B_TILE, m_cap // _PACK, w_band),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B_TILE, _GROUP // _PACK, w_band), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q, tp, gcp)
+
+
+# ---------------------------------------------------------------------- #
+# on-device traceback walk: keeps the big packed-move planes on the device
+# and ships only compact per-step op streams to the host (the host C++
+# run-length-encodes them into op lists). Vectorized across the batch with
+# one gather per step.
+# ---------------------------------------------------------------------- #
+
+OP_STREAM_SKIP = 3  # pad-consuming or finished steps
+
+
+@functools.partial(jax.jit, static_argnames=("m_cap", "n_cap", "w_band",
+                                             "max_steps"))
+def walk_moves_device(moves, m, n, *, m_cap, n_cap, w_band, max_steps):
+    """moves (B, m_cap//16, W) int32 (device), m/n (B,) int32 real lengths.
+
+    Returns (codes (B, max_steps) int8 emitted BACKWARD from the corner
+    (0=match, 1=ins, 2=del, 3=skip), escaped (B,) bool band-escape flags)."""
+    B = moves.shape[0]
+    dlo = band_dlo(m_cap, n_cap, w_band)
+    mflat = moves.reshape(B, -1)
+    m = m.astype(jnp.int32)
+    n = n.astype(jnp.int32)
+
+    def step(carry, _):
+        i, j, escaped = carry
+        k = j - i - dlo
+        at_origin = (i == 0) & (j == 0)
+        row = jnp.maximum(i - 1, 0)
+        widx = (row // 16) * w_band + jnp.clip(k, 0, w_band - 1)
+        word = jnp.take_along_axis(mflat, widx[:, None], axis=1)[:, 0]
+        mv = (word >> (2 * (row % 16))) & 3
+        mv = jnp.where(i == 0, 2, mv)            # row 0: all deletions
+        mv = jnp.where((j == 0) & (i > 0), 1, mv)  # column 0: all insertions
+        inband = (k >= 0) & (k < w_band)
+        esc = escaped | (~at_origin & (i > 0) & (j > 0) &
+                         (~inband | (mv == 3)))
+        mv = jnp.where(esc | at_origin, OP_STREAM_SKIP, mv)
+        di = jnp.where((mv == 0) | (mv == 1), 1, 0)
+        dj = jnp.where((mv == 0) | (mv == 2), 1, 0)
+        real = jnp.where(mv == 0, (i <= m) & (j <= n),
+                         jnp.where(mv == 1, i <= m, j <= n))
+        out = jnp.where((mv == OP_STREAM_SKIP) | ~real, OP_STREAM_SKIP,
+                        mv).astype(jnp.int8)
+        return (i - di, j - dj, esc), out
+
+    init = (jnp.full((B,), m_cap, jnp.int32),
+            jnp.full((B,), n_cap, jnp.int32),
+            jnp.zeros((B,), bool))
+    (_, _, escaped), outs = jax.lax.scan(step, init, None, length=max_steps)
+    return outs.T, escaped

@@ -1,12 +1,20 @@
 import os
 
 # tests run on CPU with a virtual 8-device mesh; the real chip is reserved for
-# bench.py. Must be set before jax import anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# bench.py. The image pre-imports jax with JAX_PLATFORMS=axon via
+# sitecustomize, so env vars alone are too late -- override via jax.config
+# BEFORE any backend is initialized.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except ImportError:
+    pass
 
 import pytest  # noqa: E402
 

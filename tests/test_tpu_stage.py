@@ -1,0 +1,85 @@
+"""TPU consensus stage (interpreted kernel on CPU) vs native backend."""
+
+import numpy as np
+import pytest
+
+from racon_tpu.models.polish_model import PolisherConfig
+from racon_tpu.native import loader
+
+if not loader.available():
+    pytest.skip("native runtime unavailable", allow_module_level=True)
+
+from racon_tpu.ops.consensus_stage_tpu import TpuConsensusStage
+from racon_tpu.native.consensus_stage import NativeConsensusStage
+from racon_tpu.polisher import create_polisher
+from racon_tpu.utils.logger import Logger
+
+
+def _build_windows(tmp_path, seed=5, n_reads=14, glen=900, wlen=150):
+    rng = np.random.default_rng(seed)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    true = rng.choice(ACGT, glen)
+    draft = true.copy()
+    for pos in rng.choice(glen, 12, replace=False):
+        draft[pos] = rng.choice(ACGT)
+    # delete a few bases from the draft so insertions must be recovered
+    draft = np.delete(draft, rng.choice(glen, 5, replace=False))
+    reads, paf = [], []
+    for r in range(n_reads):
+        s = int(rng.integers(0, 120))
+        e = int(rng.integers(glen - 120, glen))
+        read = true[s:e].copy()
+        for pos in rng.choice(len(read), len(read) // 40, replace=False):
+            read[pos] = rng.choice(ACGT)
+        reads.append((b"r%d" % r, read.tobytes()))
+        paf.append(b"\t".join([
+            b"r%d" % r, b"%d" % len(read), b"0", b"%d" % len(read), b"+",
+            b"ctg", b"%d" % len(draft), b"%d" % s,
+            b"%d" % min(len(draft), e), b"9", b"9", b"60"]))
+    (tmp_path / "reads.fasta").write_bytes(
+        b"".join(b">" + n + b"\n" + d + b"\n" for n, d in reads))
+    (tmp_path / "ovl.paf").write_bytes(b"\n".join(paf) + b"\n")
+    (tmp_path / "draft.fasta").write_bytes(b">ctg\n" + draft.tobytes() + b"\n")
+    cfg = PolisherConfig(backend="native", num_threads=2, window_length=wlen,
+                         match=5, mismatch=-4, gap=-8)
+    p = create_polisher(str(tmp_path / "reads.fasta"),
+                        str(tmp_path / "ovl.paf"),
+                        str(tmp_path / "draft.fasta"), cfg)
+    p.initialize()
+    return p, cfg, true
+
+
+def test_tpu_stage_matches_native(tmp_path):
+    p, cfg, true = _build_windows(tmp_path)
+    native = NativeConsensusStage(cfg)
+    want_cons, want_pol = native.consensus_windows(p.windows, cfg, Logger())
+
+    cfg_tpu = PolisherConfig(**{**cfg.__dict__, "backend": "tpu"})
+    tpu = TpuConsensusStage.try_create(cfg_tpu)
+    assert tpu is not None
+    got_cons, got_pol = tpu.consensus_windows(p.windows, cfg_tpu, Logger())
+
+    assert got_pol == want_pol
+    n_diff = sum(1 for a, b in zip(got_cons, want_cons) if a != b)
+    # banded device DP can tie-break differently near band edges; demand
+    # near-total agreement and identical total length scale
+    assert n_diff <= 1, f"{n_diff} of {len(want_cons)} windows differ"
+
+    # and quality: stitched consensus close to the truth
+    from racon_tpu.native import bindings
+    full = b"".join(got_cons)
+    d = bindings.edit_distance(full, true.tobytes())
+    assert d <= 8
+
+
+def test_tpu_stage_polish_quality(tmp_path):
+    """Full pipeline with the TPU stage (interpreted): corrects the draft."""
+    from racon_tpu.native import bindings
+    p, cfg, true = _build_windows(tmp_path, seed=9)
+    cfg_tpu = PolisherConfig(**{**cfg.__dict__, "backend": "tpu",
+                                "trim": False})
+    tpu = TpuConsensusStage.try_create(cfg_tpu)
+    cons, pol = tpu.consensus_windows(p.windows, cfg_tpu, Logger())
+    full = b"".join(cons)
+    d = bindings.edit_distance(full, true.tobytes())
+    assert d <= 8
