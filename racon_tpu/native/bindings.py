@@ -47,6 +47,9 @@ def _configure(lib: C.CDLL) -> C.CDLL:
     lib.rt_walk_moves_batch.argtypes = [
         _i32p, _i64p, _i64p, C.c_int64, C.c_int64, C.c_int64, C.c_int64,
         C.c_int32, _i32p, _i64p, _i64p]
+    lib.rt_breaking_points_from_ops_batch.argtypes = [
+        _i32p, _i64p, _i64p, _u8p, _i64p, _i64p, _i64p, _i64p, _i64p,
+        C.c_int64, C.c_int32, C.c_int32, _i64p, _i64p, _i64p]
     lib.rt_opstream_to_ops_batch.argtypes = [
         np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS"), C.c_int64,
         C.c_int64, C.c_int32, _i32p, _i64p, _i64p]
@@ -231,6 +234,30 @@ def walk_moves_batch(moves, m, n, m_cap, n_cap, w_band, n_threads):
         np.ascontiguousarray(moves, np.int32).reshape(-1), m, n, B, m_cap,
         n_cap, w_band, n_threads, out, out_off, counts)
     return out.reshape(-1, 2), out_off, counts
+
+
+def breaking_points_from_ops_batch(ops_blob, ops_off, ops_count, strand,
+                                   q_begin, q_end, q_length, t_begin, t_end,
+                                   window_length, n_threads):
+    """Breaking points from precomputed op lists. Returns (quads, off, counts)."""
+    lib = get_lib()
+    n = len(strand)
+    max_quads = (np.asarray(t_end) - np.asarray(t_begin)) // window_length + 2
+    quad_off = np.zeros(n + 1, np.int64)
+    np.cumsum(max_quads, out=quad_off[1:])
+    out = np.zeros(int(quad_off[-1]) * 4, np.int64)
+    counts = np.zeros(n, np.int64)
+    lib.rt_breaking_points_from_ops_batch(
+        np.ascontiguousarray(ops_blob, np.int32).reshape(-1),
+        np.ascontiguousarray(ops_off, np.int64),
+        np.ascontiguousarray(ops_count, np.int64), _as_u8(strand),
+        np.ascontiguousarray(q_begin, np.int64),
+        np.ascontiguousarray(q_end, np.int64),
+        np.ascontiguousarray(q_length, np.int64),
+        np.ascontiguousarray(t_begin, np.int64),
+        np.ascontiguousarray(t_end, np.int64), n, window_length, n_threads,
+        out, quad_off, counts)
+    return out.reshape(-1, 4), quad_off, counts
 
 
 def opstream_to_ops_batch(codes, m, n, n_threads):

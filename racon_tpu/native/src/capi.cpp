@@ -385,3 +385,25 @@ void rt_opstream_to_ops_batch(const int8_t* codes, int64_t n_items,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// breaking points from precomputed op lists (device-aligned overlaps);
+// quad_off indexes the output quads, ops_off the input op lists
+void rt_breaking_points_from_ops_batch(
+    const int32_t* ops_blob, const int64_t* ops_off, const int64_t* ops_count,
+    const uint8_t* strand, const int64_t* q_begin, const int64_t* q_end,
+    const int64_t* q_length, const int64_t* t_begin, const int64_t* t_end,
+    int64_t n, int32_t window_length, int32_t n_threads, int64_t* out_quads,
+    const int64_t* quad_off, int64_t* out_counts) {
+    rt::parallel_for(n, n_threads, [&](int64_t i, int32_t) {
+        const rt::OpRun* ops =
+            reinterpret_cast<const rt::OpRun*>(ops_blob) + ops_off[i];
+        out_counts[i] = rt::breaking_points(
+            ops, ops_count[i], strand[i] != 0, q_begin[i], q_end[i],
+            q_length[i], t_begin[i], t_end[i], window_length,
+            out_quads + quad_off[i] * 4, quad_off[i + 1] - quad_off[i]);
+    });
+}
+
+}  // extern "C"

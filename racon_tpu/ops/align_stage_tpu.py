@@ -1,0 +1,165 @@
+"""TPU overlap-alignment stage: breaking points via the device NW kernel.
+
+Replaces the reference's edlib stage (src/overlap.cpp:205-224) and its CUDA
+batch aligner (src/cuda/cudaaligner.cpp): overlap (query-slice, target-slice)
+pairs are bucketed by length into canonical equal-cap shapes, aligned on
+device with edit-distance scores (0,-1,-1), walked on device into compact op
+streams, then cut at window boundaries by the native runtime. Oversized or
+band-escaping items fall back to the host C++ aligner (the same
+heterogeneous-fallback pattern as the reference's GPU path,
+src/cuda/cudapolisher.cpp:204-213).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .nw_kernel import nw_band_batch, walk_moves_device, encode, PAD_CODE
+
+# canonical (cap, band) tiers; items beyond the last tier go to the host
+_TIERS = ((1280, 256), (2560, 512), (5120, 768), (10240, 1024),
+          (20480, 1024), (40960, 1024))
+_DEVICE_CHUNK = 256
+
+
+class TpuAlignStage:
+    def __init__(self, cfg, interpret: bool):
+        self.cfg = cfg
+        self.interpret = interpret
+
+    @classmethod
+    def try_create(cls, cfg):
+        from ..native import loader
+        if not loader.available():
+            return None
+        try:
+            import jax
+            platform = jax.devices()[0].platform
+        except Exception:
+            return None
+        if platform != "cpu":
+            return cls(cfg, interpret=False)
+        if cfg.backend == "tpu":
+            return cls(cfg, interpret=True)
+        return None
+
+    def breaking_points(self, overlaps, indices, sequences, window_length,
+                        logger) -> list[np.ndarray]:
+        from ..native import bindings
+
+        # materialize the aligned slices (reference: src/overlap.cpp:192-197)
+        slices = []
+        meta = {k: np.zeros(len(indices), np.int64)
+                for k in ("q_begin", "q_end", "q_length", "t_begin", "t_end")}
+        strand = np.zeros(len(indices), np.uint8)
+        for z, i in enumerate(indices):
+            qid = int(overlaps.q_id[i])
+            s = bool(overlaps.strand[i])
+            qb, qe = int(overlaps.q_begin[i]), int(overlaps.q_end[i])
+            qlen = int(overlaps.q_length[i])
+            tb, te = int(overlaps.t_begin[i]), int(overlaps.t_end[i])
+            if s:
+                qarr = sequences.reverse_complement(qid)[qlen - qe : qlen - qb]
+            else:
+                qarr = sequences.data(qid)[qb:qe]
+            tarr = sequences.data(int(overlaps.t_id[i]))[tb:te]
+            slices.append((qarr, tarr))
+            strand[z] = 1 if s else 0
+            meta["q_begin"][z] = qb
+            meta["q_end"][z] = qe
+            meta["q_length"][z] = qlen
+            meta["t_begin"][z] = tb
+            meta["t_end"][z] = te
+
+        # bucket by the canonical tiers; |n - m| must fit well within band
+        tiers = _TIERS if not self.interpret else ((256, 128),)
+        buckets: dict[int, list[int]] = {ti: [] for ti in range(len(tiers))}
+        host: list[int] = []
+        for z, (qarr, tarr) in enumerate(slices):
+            m, n = len(qarr), len(tarr)
+            placed = False
+            for ti, (cap, band) in enumerate(tiers):
+                if m <= cap and n <= cap and abs(n - m) <= band // 2 - 64:
+                    buckets[ti].append(z)
+                    placed = True
+                    break
+            if not placed:
+                host.append(z)
+
+        all_ops: list[np.ndarray | None] = [None] * len(indices)
+        all_counts = np.zeros(len(indices), np.int64)
+
+        for ti, members in buckets.items():
+            if not members:
+                continue
+            cap, band = tiers[ti]
+            for c0 in range(0, len(members), _DEVICE_CHUNK):
+                chunk = members[c0 : c0 + _DEVICE_CHUNK]
+                B = len(chunk)
+                q = np.full((B, cap), PAD_CODE, np.int32)
+                t = np.full((B, cap), PAD_CODE, np.int32)
+                gc = np.zeros((B, cap + 1), np.int32)
+                gcrow = np.cumsum(np.full(cap, -1, np.int32))
+                for bi, z in enumerate(chunk):
+                    qarr, tarr = slices[z]
+                    q[bi, : len(qarr)] = encode(qarr)
+                    t[bi, : len(tarr)] = encode(tarr)
+                    gc[bi, 1:] = gcrow
+                moves, _ = nw_band_batch(
+                    q, t, gc, m_cap=cap, n_cap=cap, w_band=band, match=0,
+                    mismatch=-1, gap=-1, interpret=self.interpret)
+                import jax.numpy as jnp
+                ms = np.array([len(slices[z][0]) for z in chunk], np.int64)
+                ns = np.array([len(slices[z][1]) for z in chunk], np.int64)
+                codes, escaped = walk_moves_device(
+                    moves[:B], jnp.asarray(ms, jnp.int32),
+                    jnp.asarray(ns, jnp.int32), m_cap=cap, n_cap=cap,
+                    w_band=band, max_steps=2 * cap)
+                codes = np.asarray(codes)
+                escaped = np.asarray(escaped)
+                ops_flat, ops_off, counts = bindings.opstream_to_ops_batch(
+                    codes, ms, ns, self.cfg.num_threads)
+                for bi, z in enumerate(chunk):
+                    if escaped[bi]:
+                        host.append(z)
+                    else:
+                        o = int(ops_off[bi])
+                        all_ops[z] = ops_flat[o : o + int(counts[bi])]
+                        all_counts[z] = counts[bi]
+                logger.bar("[racon::Polisher::initialize] aligning overlaps")
+
+        if host:
+            qoff = np.zeros(len(host) + 1, np.int64)
+            toff = np.zeros(len(host) + 1, np.int64)
+            for z2, z in enumerate(host):
+                qoff[z2 + 1] = qoff[z2] + len(slices[z][0])
+                toff[z2 + 1] = toff[z2] + len(slices[z][1])
+            qblob = (np.concatenate([slices[z][0] for z in host])
+                     if qoff[-1] else np.zeros(0, np.uint8))
+            tblob = (np.concatenate([slices[z][1] for z in host])
+                     if toff[-1] else np.zeros(0, np.uint8))
+            ops_flat, ops_off, counts = bindings.align_batch(
+                qblob, qoff, tblob, toff, 0, -1, -1, True,
+                self.cfg.num_threads)
+            for z2, z in enumerate(host):
+                o = int(ops_off[z2])
+                all_ops[z] = ops_flat[o : o + int(counts[z2])]
+                all_counts[z] = counts[z2]
+
+        # op lists -> window breaking points (native walk)
+        ops_off2 = np.zeros(len(indices) + 1, np.int64)
+        for z in range(len(indices)):
+            ops_off2[z + 1] = ops_off2[z] + len(all_ops[z])
+        ops_blob = (np.concatenate(all_ops) if len(indices)
+                    else np.zeros((0, 2), np.int32))
+        quads, quad_off, qcounts = bindings.breaking_points_from_ops_batch(
+            ops_blob, ops_off2[:-1], all_counts, strand, meta["q_begin"],
+            meta["q_end"], meta["q_length"], meta["t_begin"], meta["t_end"],
+            window_length, self.cfg.num_threads)
+        out = []
+        for z in range(len(indices)):
+            o = int(quad_off[z])
+            out.append(quads[o : o + int(qcounts[z])].copy())
+        for _ in range(20):
+            logger.bar("[racon::Polisher::initialize] aligning overlaps")
+        return out

@@ -78,15 +78,17 @@ def _align_down(x: int, a: int) -> int:
 
 
 def _nw_band_kernel(q_ref, tp_ref, gcp_ref, moves_ref, score_ref,
-                    slot_scr, *, m_cap, n_cap, w_band, match, mismatch, gap):
+                    hscr, *, m_cap, n_cap, w_band, match, mismatch, gap):
     """tp/gcp are left-padded by w_band lanes (see nw_band_batch).
 
     Mosaic constrains dynamic lane offsets to multiples of 128, so rows are
-    processed in groups of 128: each group does one 128-aligned chunk load of
-    q/t/Gc, then a shift register advances the band window one lane per row
-    (all in-loop slices are static). Traceback moves pack 16 rows per int32
-    lane; each group writes its 8 packed rows through predicated static-slot
-    stores into scratch, then one aligned store to the output block.
+    processed in groups of 128 (the minor grid dimension): each group does
+    one 128-aligned chunk load of q/t/Gc, then a shift register advances the
+    band window one lane per row with a 16-row unroll (all in-loop slices
+    static). Traceback moves pack 16 rows per int32 lane; each group writes
+    its 8 packed rows through predicated static-slot stores into scratch,
+    then stores its own output block. H carries across groups in VMEM
+    scratch.
     """
     B = q_ref.shape[0]
     W = w_band
@@ -98,12 +100,18 @@ def _nw_band_kernel(q_ref, tp_ref, gcp_ref, moves_ref, score_ref,
     n_groups = m_cap // _GROUP
     slots = _GROUP // _PACK
 
-    # row 0: H[0][j] = Gc[j] for valid j (0..n_cap), else NEG
-    j0 = dlo + kidx
-    g0 = jax.lax.slice(gcp_ref[...], (0, W + dlo), (B, W + dlo + W))
-    h0 = jnp.where((j0 >= 0) & (j0 <= n_cap), g0, NEG)
+    # one grid step = one 128-row group of one batch tile; groups iterate in
+    # the minor grid dimension so hscr (VMEM scratch) carries H across them
+    g = pl.program_id(1)
 
-    def group_body(g, hprev):
+    @pl.when(g == 0)
+    def _():
+        # row 0: H[0][j] = Gc[j] for valid j (0..n_cap), else NEG
+        j0 = dlo + kidx
+        g0 = jax.lax.slice(gcp_ref[...], (0, W + dlo), (B, W + dlo + W))
+        hscr[...] = jnp.where((j0 >= 0) & (j0 <= n_cap), g0, NEG)
+
+    if True:  # group body (indentation kept shallow)
         gbase = pl.multiple_of(g * _GROUP, _GROUP)
         q_reg0 = q_ref[:, pl.ds(gbase, _GROUP)]
         t_reg0 = tp_ref[:, pl.ds(gbase + base_t, REG)]
@@ -153,22 +161,21 @@ def _nw_band_kernel(q_ref, tp_ref, gcp_ref, moves_ref, score_ref,
             for s_i in range(slots):
                 @pl.when(p == s_i)
                 def _():
-                    slot_scr[:, s_i, :] = pack
+                    moves_ref[:, s_i, :] = pack
 
             q_reg = _shift_left(q_reg, _PACK, PAD_CODE)
             t_reg = _shift_left(t_reg, _PACK, PAD_CODE)
             gc_reg = _shift_left(gc_reg, _PACK, 0)
             return (hp, q_reg, t_reg, gc_reg)
 
-        hprev, *_ = jax.lax.fori_loop(0, _GROUP // _PACK, pack_body,
-                                      (hprev, q_reg0, t_reg0, gc_reg0))
-        gslot = pl.multiple_of(g * slots, 8)
-        moves_ref[:, pl.ds(gslot, slots), :] = slot_scr[...]
-        return hprev
+        h_final, *_ = jax.lax.fori_loop(0, _GROUP // _PACK, pack_body,
+                                        (hscr[...], q_reg0, t_reg0, gc_reg0))
+        hscr[...] = h_final
 
-    h_final = jax.lax.fori_loop(0, n_groups, group_body, h0)
-    k_end = n_cap - m_cap - dlo
-    score_ref[...] = jax.lax.slice(h_final, (0, k_end), (B, k_end + 1))
+    @pl.when(g == n_groups - 1)
+    def _():
+        k_end = n_cap - m_cap - dlo
+        score_ref[...] = jax.lax.slice(hscr[...], (0, k_end), (B, k_end + 1))
 
 
 B_TILE = 16  # items per grid step (VPU sublane granularity x2)
@@ -202,7 +209,10 @@ def nw_band_batch(q, t, gc, *, m_cap, n_cap, w_band, match, mismatch, gap,
     kernel = functools.partial(_nw_band_kernel, m_cap=m_cap, n_cap=n_cap,
                                w_band=w_band, match=match, mismatch=mismatch,
                                gap=gap)
-    grid = (B // B_TILE,)
+    # grid: (batch tiles, row groups); groups iterate minor so H carries in
+    # VMEM scratch across them while DMAs pipeline
+    grid = (B // B_TILE, m_cap // _GROUP)
+    slots = _GROUP // _PACK
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -211,21 +221,21 @@ def nw_band_batch(q, t, gc, *, m_cap, n_cap, w_band, match, mismatch, gap,
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
         ),
         in_specs=[
-            pl.BlockSpec((B_TILE, q.shape[1]), lambda i: (i, 0),
+            pl.BlockSpec((B_TILE, q.shape[1]), lambda i, g: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_TILE, tp.shape[1]), lambda i: (i, 0),
+            pl.BlockSpec((B_TILE, tp.shape[1]), lambda i, g: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_TILE, gcp.shape[1]), lambda i: (i, 0),
+            pl.BlockSpec((B_TILE, gcp.shape[1]), lambda i, g: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((B_TILE, m_cap // _PACK, w_band),
-                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_TILE, 1), lambda i: (i, 0),
+            pl.BlockSpec((B_TILE, slots, w_band), lambda i, g: (i, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_TILE, 1), lambda i, g: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((B_TILE, _GROUP // _PACK, w_band), jnp.int32),
+            pltpu.VMEM((B_TILE, w_band), jnp.int32),
         ],
         interpret=interpret,
     )(q, tp, gcp)
