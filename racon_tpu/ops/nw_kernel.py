@@ -242,6 +242,83 @@ def nw_band_batch(q, t, gc, *, m_cap, n_cap, w_band, match, mismatch, gap,
 
 
 # ---------------------------------------------------------------------- #
+# pure-JAX reference implementation of the kernel (identical outputs: same
+# band geometry, same move packing, same score). Used (a) as the oracle in
+# kernel tests and (b) under shard_map on CPU meshes, where interpret-mode
+# pallas_call does not execute (callback-based emulation deadlocks under
+# multi-device SPMD).
+# ---------------------------------------------------------------------- #
+
+
+@functools.partial(jax.jit, static_argnames=("m_cap", "n_cap", "w_band",
+                                             "match", "mismatch", "gap"))
+def nw_band_batch_ref(q, t, gc, *, m_cap, n_cap, w_band, match, mismatch,
+                      gap):
+    """Pure-jax.numpy twin of nw_band_batch (same signature minus interpret).
+
+    Row-scan over the query with the same band-lane layout, horizontal
+    max-plus closure, move priorities, and 16-rows-per-int32 packing as the
+    Pallas kernel; outputs are bit-identical.
+    """
+    B = q.shape[0]
+    W = w_band
+    dlo = band_dlo(m_cap, n_cap, W)
+    if B % B_TILE:
+        extra = B_TILE - B % B_TILE
+        q = jnp.pad(q, ((0, extra), (0, 0)), constant_values=PAD_CODE)
+        t = jnp.pad(t, ((0, extra), (0, 0)), constant_values=PAD_CODE)
+        gc = jnp.pad(gc, ((0, extra), (0, 0)))
+        B += extra
+    tp = jnp.pad(t, ((0, 0), (W, W)), constant_values=PAD_CODE)
+    gcp = jnp.pad(gc, ((0, 0), (W, 0)))
+    gcp = jnp.pad(gcp, ((0, 0), (0, W)), mode="edge")
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+
+    j0 = dlo + kidx
+    g0 = jax.lax.dynamic_slice(gcp, (0, W + dlo), (B, W))
+    h0 = jnp.where((j0 >= 0) & (j0 <= n_cap), g0, NEG)
+
+    def row(hp, i):
+        jrow = i + dlo + kidx
+        valid = (jrow >= 1) & (jrow <= n_cap)
+        start = i - 1 + W + dlo
+        t_row = jax.lax.dynamic_slice(tp, (0, start), (B, W))
+        gc_here = jax.lax.dynamic_slice(gcp, (0, start + 1), (B, W))
+        qi = jax.lax.dynamic_slice(q, (0, i - 1), (B, 1))
+
+        same = t_row == qi
+        one_pad = (t_row == PAD_CODE) ^ (qi == PAD_CODE)
+        sub = jnp.where(one_pad, NEG, jnp.where(same, match, mismatch))
+
+        diag_c = hp + sub
+        up_c = _shift_left(hp, 1, NEG) + gap
+        cand = jnp.maximum(diag_c, up_c)
+        cand = jnp.where(jrow == 0, i * gap, cand)
+        cand = jnp.where(valid | (jrow == 0), cand, NEG)
+
+        a = cand - gc_here
+        s = 1
+        while s < W:
+            a = jnp.maximum(a, _shift_right(a, s, 2 * NEG))
+            s *= 2
+        h = a + gc_here
+        h = jnp.where(valid | (jrow == 0), h, NEG)
+
+        mv = jnp.where(h == diag_c, 0, jnp.where(h == up_c, 1, 2))
+        mv = jnp.where(valid, mv, 3)
+        return h, mv
+
+    h_final, mvs = jax.lax.scan(row, h0, jnp.arange(1, m_cap + 1))
+    # pack 16 rows per int32 word, matching the kernel's move planes
+    mvs = mvs.transpose(1, 0, 2).reshape(B, m_cap // _PACK, _PACK, W)
+    shifts = (2 * jnp.arange(_PACK, dtype=jnp.int32))[None, None, :, None]
+    moves = jnp.sum(mvs << shifts, axis=2).astype(jnp.int32)
+    k_end = n_cap - m_cap - dlo
+    score = jax.lax.dynamic_slice(h_final, (0, k_end), (B, 1))
+    return moves, score
+
+
+# ---------------------------------------------------------------------- #
 # on-device traceback walk: keeps the big packed-move planes on the device
 # and ships only compact per-step op streams to the host (the host C++
 # run-length-encodes them into op lists). Vectorized across the batch with

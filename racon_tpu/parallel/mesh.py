@@ -1,0 +1,87 @@
+"""Multi-chip scale-out: window/overlap batches sharded over a device mesh.
+
+The reference's only parallelism is one process's thread pool plus optional
+multi-GPU batch queues (SURVEY.md sec 2.3). Here the unit of distribution is
+the same as the device batch: padded alignment items (window layers or
+overlap slices). They are embarrassingly parallel, so the mapping is a 1-D
+mesh over all chips with the batch dimension sharded -- no collectives in the
+hot loop; XLA keeps each shard's kernel local to its chip. Hosts gather
+consensus bytes for stitching (DCN, outside the hot loop; multi-host entry
+via jax.distributed.initialize()).
+
+dryrun_multichip in __graft_entry__.py validates this path on a virtual CPU
+mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops.nw_kernel import nw_band_batch, nw_band_batch_ref, walk_moves_device
+
+
+def _nw_impl(interpret):
+    """Kernel selection: the Pallas kernel on real chips; its pure-jax twin
+    (bit-identical outputs, see nw_kernel.nw_band_batch_ref) on CPU meshes,
+    where interpret-mode pallas_call deadlocks under multi-device SPMD."""
+    if interpret:
+        return functools.partial(nw_band_batch_ref)
+    return functools.partial(nw_band_batch, interpret=False)
+
+
+def window_mesh(devices=None) -> Mesh:
+    """1-D mesh over all (or the given) devices; axis "win" shards batches."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices, axis_names=("win",))
+
+
+def sharded_nw_band_batch(mesh: Mesh, q, t, gc, *, m_cap, n_cap, w_band,
+                          match, mismatch, gap, interpret=False):
+    """Run the banded-NW kernel with the batch dim sharded over the mesh.
+
+    Each chip processes its local shard with the single-chip Pallas kernel;
+    there is no cross-chip communication (pure data parallelism over windows,
+    the TPU analog of the reference's multi-GPU batch queues).
+    """
+    n_dev = mesh.devices.size
+    impl = _nw_impl(interpret)
+
+    def local(qs, ts, gcs):
+        return impl(qs, ts, gcs, m_cap=m_cap, n_cap=n_cap, w_band=w_band,
+                    match=match, mismatch=mismatch, gap=gap)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P("win"), P("win"), P("win")),
+                   out_specs=(P("win"), P("win")), check_rep=False)
+    assert q.shape[0] % n_dev == 0, "pad batch to a multiple of mesh size"
+    return fn(q, t, gc)
+
+
+def polish_step_sharded(mesh: Mesh, *, m_cap, n_cap, w_band, match, mismatch,
+                        gap, interpret=False):
+    """The full device-side polish step (align + traceback walk), sharded.
+
+    Returns a jitted fn (q, t, gc, m, n) -> (op code streams, escape flags),
+    i.e. everything the device contributes per refinement round; graph merge
+    and stitching stay on the hosts.
+    """
+
+    impl = _nw_impl(interpret)
+
+    def local(qs, ts, gcs, ms, ns):
+        moves, score = impl(
+            qs, ts, gcs, m_cap=m_cap, n_cap=n_cap, w_band=w_band, match=match,
+            mismatch=mismatch, gap=gap)
+        codes, escaped = walk_moves_device(
+            moves, ms, ns, m_cap=m_cap, n_cap=n_cap, w_band=w_band,
+            max_steps=m_cap + n_cap)
+        return codes, escaped, score
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P("win"), P("win"), P("win"), P("win"), P("win")),
+                   out_specs=(P("win"), P("win"), P("win")), check_rep=False)
+    return jax.jit(fn)
