@@ -38,19 +38,23 @@ def build_workload(seed=1234):
     # draft errors: subs + deletions (ONT-like draft)
     for pos in rng.choice(glen, glen // 50, replace=False):
         draft[pos] = rng.choice(ACGT)
-    draft = np.delete(draft, rng.choice(glen, glen // 100, replace=False))
+    keep = np.delete(np.arange(glen), rng.choice(glen, glen // 100,
+                                                 replace=False))
+    draft = draft[keep]  # keep[i] = true-coordinate of draft position i
 
     # store: target (draft) + reads
     names = [b"ctg"]
     parts = [draft]
     layers = []  # (qid, begin, end, qbegin, qlen)
     qid = 1
-    # reads tile the target; each read ~2kb covering 4 windows, staggered
+    # reads tile the target; each read ~2kb covering 4 windows, staggered.
+    # read r spans draft[start:end]; its error-free source is the matching
+    # true-coordinate slice (keep[] maps between the two systems)
     read_len_t = 2000
     step = read_len_t // (DEPTH // 4)
     for start in range(0, len(draft) - 100, step):
-        end = min(start + read_len_t, len(true))
-        seg = true[start:end]
+        end = min(start + read_len_t, len(draft))
+        seg = true[keep[start] : keep[end - 1] + 1]
         out = []
         for b in seg:
             r = rng.random()
