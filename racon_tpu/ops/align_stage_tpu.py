@@ -14,12 +14,18 @@ from __future__ import annotations
 
 import numpy as np
 
-from .nw_kernel import nw_band_batch, walk_moves_device, encode, PAD_CODE
+from .consensus_stage_tpu import _pack_rows
+from .nw_kernel import align_walk_batch, encode, PAD_CODE
 
 # canonical (cap, band) tiers; items beyond the last tier go to the host
 _TIERS = ((1280, 256), (2560, 512), (5120, 768), (10240, 1024),
           (20480, 1024), (40960, 1024))
-_DEVICE_CHUNK = 256
+_MOVES_BUDGET = 1 << 30  # bytes of HBM for one chunk's packed-move planes
+
+
+def _chunk_size(cap: int, band: int) -> int:
+    per_item = (cap // 16) * band * 4  # int32 move planes
+    return max(16, min(1024, _MOVES_BUDGET // per_item))
 
 
 class TpuAlignStage:
@@ -33,6 +39,8 @@ class TpuAlignStage:
         if not loader.available():
             return None
         try:
+            from ..utils.jaxenv import setup_jax
+            setup_jax()
             import jax
             platform = jax.devices()[0].platform
         except Exception:
@@ -89,44 +97,45 @@ class TpuAlignStage:
         all_ops: list[np.ndarray | None] = [None] * len(indices)
         all_counts = np.zeros(len(indices), np.int64)
 
+        # one fused align+walk dispatch per chunk; dispatch everything, then
+        # fetch in order so transfers/compute/drain pipeline (async dispatch)
+        pending = []
         for ti, members in buckets.items():
             if not members:
                 continue
             cap, band = tiers[ti]
-            for c0 in range(0, len(members), _DEVICE_CHUNK):
-                chunk = members[c0 : c0 + _DEVICE_CHUNK]
-                B = len(chunk)
-                q = np.full((B, cap), PAD_CODE, np.int32)
-                t = np.full((B, cap), PAD_CODE, np.int32)
-                gc = np.zeros((B, cap + 1), np.int32)
-                gcrow = np.cumsum(np.full(cap, -1, np.int32))
-                for bi, z in enumerate(chunk):
-                    qarr, tarr = slices[z]
-                    q[bi, : len(qarr)] = encode(qarr)
-                    t[bi, : len(tarr)] = encode(tarr)
-                    gc[bi, 1:] = gcrow
-                moves, _ = nw_band_batch(
-                    q, t, gc, m_cap=cap, n_cap=cap, w_band=band, match=0,
-                    mismatch=-1, gap=-1, interpret=self.interpret)
-                import jax.numpy as jnp
-                ms = np.array([len(slices[z][0]) for z in chunk], np.int64)
-                ns = np.array([len(slices[z][1]) for z in chunk], np.int64)
-                codes, escaped = walk_moves_device(
-                    moves[:B], jnp.asarray(ms, jnp.int32),
-                    jnp.asarray(ns, jnp.int32), m_cap=cap, n_cap=cap,
-                    w_band=band, max_steps=2 * cap)
-                codes = np.asarray(codes)
-                escaped = np.asarray(escaped)
-                ops_flat, ops_off, counts = bindings.opstream_to_ops_batch(
-                    codes, ms, ns, self.cfg.num_threads)
-                for bi, z in enumerate(chunk):
-                    if escaped[bi]:
-                        host.append(z)
-                    else:
-                        o = int(ops_off[bi])
-                        all_ops[z] = ops_flat[o : o + int(counts[bi])]
-                        all_counts[z] = counts[bi]
-                logger.bar("[racon::Polisher::initialize] aligning overlaps")
+            step = _chunk_size(cap, band)
+            for c0 in range(0, len(members), step):
+                chunk = members[c0 : c0 + step]
+                qparts = [encode(slices[z][0]).astype(np.int8)
+                          for z in chunk]
+                tparts = [encode(slices[z][1]).astype(np.int8)
+                          for z in chunk]
+                q8 = _pack_rows(qparts, cap, PAD_CODE)
+                t8 = _pack_rows(tparts, cap, PAD_CODE)
+                dc8 = np.full((len(chunk), cap), -1, np.int8)
+                ms = np.fromiter((len(p) for p in qparts), np.int64,
+                                 len(chunk))
+                ns = np.fromiter((len(p) for p in tparts), np.int64,
+                                 len(chunk))
+                codes, escaped, _ = align_walk_batch(
+                    q8, t8, dc8, ms.astype(np.int32), ns.astype(np.int32),
+                    m_cap=cap, n_cap=cap, w_band=band, match=0, mismatch=-1,
+                    gap=-1, interpret=self.interpret)
+                pending.append((chunk, codes, escaped, ms, ns))
+        for chunk, codes, escaped, ms, ns in pending:
+            codes = np.asarray(codes)
+            escaped = np.asarray(escaped)
+            ops_flat, ops_off, counts = bindings.opstream_to_ops_batch(
+                codes, ms, ns, self.cfg.num_threads)
+            for bi, z in enumerate(chunk):
+                if escaped[bi]:
+                    host.append(z)
+                else:
+                    o = int(ops_off[bi])
+                    all_ops[z] = ops_flat[o : o + int(counts[bi])]
+                    all_counts[z] = counts[bi]
+            logger.bar("[racon::Polisher::initialize] aligning overlaps")
 
         if host:
             qoff = np.zeros(len(host) + 1, np.int64)

@@ -18,14 +18,40 @@ from __future__ import annotations
 import numpy as np
 
 from ..utils.phred import PHRED_OFFSET
-from .nw_kernel import (nw_band_batch, walk_moves_device, encode, PAD_CODE,
-                        B_TILE)
+from .nw_kernel import align_walk_batch, encode, PAD_CODE
 
-_DEVICE_CHUNK = 1024  # alignments per device call
+_DEVICE_CHUNK = 4096  # alignments per device dispatch
+
+# canonical (cap, band) shape tiers: every device batch is padded to one of
+# these so the XLA program set stays small and the (persistent) compile
+# cache hot. Items are bucketed to the smallest tier that fits both their
+# length and their length mismatch (band must absorb |n-m| plus drift).
+_TIERS = ((256, 128), (640, 128), (1280, 256), (2560, 384), (5120, 512),
+          (10240, 768))
 
 
 def _round_up(x: int, a: int) -> int:
     return -(-x // a) * a
+
+
+def _margin(w_band: int) -> int:
+    return w_band // 2 - 32
+
+
+def _pack_rows(parts: list[np.ndarray], cap: int, fill: int,
+               dtype=np.int8) -> np.ndarray:
+    """Pad variable-length rows into a (B, cap) matrix without a Python
+    per-element loop."""
+    B = len(parts)
+    out = np.full((B, cap), fill, dtype)
+    lens = np.fromiter((len(p) for p in parts), np.int64, B)
+    total = int(lens.sum())
+    rows = np.repeat(np.arange(B), lens)
+    starts = np.zeros(B, np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    cols = np.arange(total) - np.repeat(starts, lens)
+    out[rows, cols] = np.concatenate(parts) if parts else []
+    return out
 
 
 class TpuConsensusStage:
@@ -38,7 +64,11 @@ class TpuConsensusStage:
         from ..native import loader
         if not loader.available():
             return None  # graph merge needs the native runtime
+        if cfg.gap < -120 or cfg.match > 120 or cfg.mismatch < -120:
+            return None  # int8 device payloads; native path handles these
         try:
+            from ..utils.jaxenv import setup_jax
+            setup_jax()
             import jax
             platform = jax.devices()[0].platform
         except Exception:
@@ -81,7 +111,7 @@ class TpuConsensusStage:
                 d = windows.layer_data(li)
                 q = windows.layer_quality(li)
                 lay_data[li] = d
-                lay_codes[li] = encode(d).astype(np.int32)
+                lay_codes[li] = encode(d).astype(np.int8)
                 lay_weights[li] = (q.astype(np.int32) - PHRED_OFFSET
                                    if q is not None
                                    else np.ones(len(d), np.int32))
@@ -104,18 +134,17 @@ class TpuConsensusStage:
             state_slots[w] = np.arange(len(bb), dtype=np.int64)
             max_bb = max(max_bb, len(bb))
 
-        # device caps: backbones may expand to 2x+64; band covers drift.
-        # canonical (cap, band) tiers keep the compile cache hot across runs.
+        # ceiling on backbone expansion: the largest canonical tier that
+        # could ever be needed for this window set (items are bucketed to
+        # per-round tiers from their ACTUAL lengths in _one_round)
         needed = max(max_q, 2 * max_bb + 64, 256)
-        for cap, w_band in ((1280, 256), (2560, 384), (5120, 512),
-                            (10240, 768)):
+        for cap, _ in _TIERS:
             if needed <= cap:
                 break
         else:
-            cap, w_band = _round_up(needed, 1024), 1024
+            cap = _round_up(needed, 1024)
         if self.interpret:  # keep interpreted tests fast
             cap = min(cap, 256)
-            w_band = min(w_band, 128)
         max_expand = cap
 
         passes = max(1, cfg.refine_passes)
@@ -123,7 +152,7 @@ class TpuConsensusStage:
             final = ps == passes - 1
             self._one_round(windows, cfg, active, lay_data, lay_codes,
                             lay_weights, state_cur, state_w, state_del,
-                            state_slots, cap, w_band, max_expand, final, tgs,
+                            state_slots, max_expand, final, tgs,
                             consensus, polished, bindings)
             logger.bar("[racon::Polisher::polish] generating consensus")
         for _ in range(20):
@@ -134,8 +163,7 @@ class TpuConsensusStage:
 
     def _one_round(self, windows, cfg, active, lay_data, lay_codes,
                    lay_weights, state_cur, state_w, state_del, state_slots,
-                   cap, w_band, max_expand, final, tgs, consensus, polished,
-                   bindings):
+                   max_expand, final, tgs, consensus, polished, bindings):
         gap = cfg.gap
         # 1. span projection + alignment item list
         items = []  # (window, layer_idx, sb, se)
@@ -156,50 +184,54 @@ class TpuConsensusStage:
                     sb, se = 0, n - 1
                 items.append((w, li, sb, se))
 
-        # 2. split device-eligible vs host items
-        dev_idx, host_idx = [], []
-        margin = w_band // 2 - 32
+        # per-round encodings of the current backbones (sliced per item)
+        enc_cur = {w: encode(state_cur[w]).astype(np.int8) for w in active}
+        del8 = {w: state_del[w].astype(np.int8) for w in active}
+
+        # 2. bucket items into the smallest tier that fits length and
+        # mismatch; oversized/over-drifted items run on the host pool
+        tiers = [t for t in _TIERS if t[0] <= max_expand] or [_TIERS[0]]
+        buckets = {t: [] for t in tiers}
+        host_idx = []
         for k, (w, li, sb, se) in enumerate(items):
             m = len(lay_codes[li])
             n = se - sb + 1
-            if m > cap or n > cap or abs(n - m) > margin:
-                host_idx.append(k)
+            for cap, w_band in tiers:
+                if m <= cap and n <= cap and abs(n - m) <= _margin(w_band):
+                    buckets[(cap, w_band)].append(k)
+                    break
             else:
-                dev_idx.append(k)
+                host_idx.append(k)
 
         all_ops = [None] * len(items)
 
-        # 3. device alignment in chunks
-        for c0 in range(0, len(dev_idx), _DEVICE_CHUNK):
-            chunk = dev_idx[c0 : c0 + _DEVICE_CHUNK]
-            B = len(chunk)
-            q = np.full((B, cap), PAD_CODE, np.int32)
-            t = np.full((B, cap), PAD_CODE, np.int32)
-            gc = np.zeros((B, cap + 1), np.int32)
-            for bi, k in enumerate(chunk):
-                w, li, sb, se = items[k]
-                qc = lay_codes[li]
-                q[bi, : len(qc)] = qc
-                tc = encode(state_cur[w][sb : se + 1]).astype(np.int32)
-                t[bi, : len(tc)] = tc
-                dc = np.full(cap, gap, np.int32)
-                dc[: len(tc)] = state_del[w][sb : se + 1]
-                gc[bi, 1:] = np.cumsum(dc)
-            moves, _ = nw_band_batch(
-                q, t, gc, m_cap=cap, n_cap=cap, w_band=w_band,
-                match=cfg.match, mismatch=cfg.mismatch, gap=gap,
-                interpret=self.interpret)
-            ms = np.array([len(lay_codes[items[k][1]]) for k in chunk],
-                          np.int64)
-            ns = np.array([items[k][3] - items[k][2] + 1 for k in chunk],
-                          np.int64)
-            # walk the traceback ON DEVICE; only compact op streams and
-            # escape flags come back to the host
-            import jax.numpy as jnp
-            codes, escaped = walk_moves_device(
-                moves[:B], jnp.asarray(ms, jnp.int32),
-                jnp.asarray(ns, jnp.int32), m_cap=cap, n_cap=cap,
-                w_band=w_band, max_steps=2 * cap)
+        # 3. device alignment: one fused align+walk dispatch per chunk; all
+        # chunks are dispatched before any result is fetched so H2D, compute
+        # and D2H pipeline across chunks (async dispatch)
+        pending = []
+        for (cap, w_band), dev_idx in buckets.items():
+            for c0 in range(0, len(dev_idx), _DEVICE_CHUNK):
+                chunk = dev_idx[c0 : c0 + _DEVICE_CHUNK]
+                qparts, tparts, dparts = [], [], []
+                for k in chunk:
+                    w, li, sb, se = items[k]
+                    qparts.append(lay_codes[li])
+                    tparts.append(enc_cur[w][sb : se + 1])
+                    dparts.append(del8[w][sb : se + 1])
+                q8 = _pack_rows(qparts, cap, PAD_CODE)
+                t8 = _pack_rows(tparts, cap, PAD_CODE)
+                dc8 = _pack_rows(dparts, cap, gap)
+                ms = np.fromiter((len(p) for p in qparts), np.int64,
+                                 len(chunk))
+                ns = np.fromiter((len(p) for p in tparts), np.int64,
+                                 len(chunk))
+                codes, escaped, _ = align_walk_batch(
+                    q8, t8, dc8, ms.astype(np.int32), ns.astype(np.int32),
+                    m_cap=cap, n_cap=cap, w_band=w_band, match=cfg.match,
+                    mismatch=cfg.mismatch, gap=gap,
+                    interpret=self.interpret)
+                pending.append((chunk, codes, escaped, ms, ns))
+        for chunk, codes, escaped, ms, ns in pending:
             codes = np.asarray(codes)
             escaped = np.asarray(escaped)
             ops_flat, ops_off, counts = bindings.opstream_to_ops_batch(

@@ -242,6 +242,36 @@ def nw_band_batch(q, t, gc, *, m_cap, n_cap, w_band, match, mismatch, gap,
 
 
 # ---------------------------------------------------------------------- #
+# fused transfer-light entry point: int8 payloads (4x less H2D than int32,
+# which matters on tethered/tunneled chips), deletion-cost cumsum on device,
+# and the traceback walk fused into the same dispatch so one host round trip
+# covers align + walk per batch.
+# ---------------------------------------------------------------------- #
+
+
+@functools.partial(jax.jit, static_argnames=("m_cap", "n_cap", "w_band",
+                                             "match", "mismatch", "gap",
+                                             "interpret"))
+def align_walk_batch(q8, t8, dc8, m, n, *, m_cap, n_cap, w_band, match,
+                     mismatch, gap, interpret=False):
+    """q8/t8 (B, CAP) int8 codes, dc8 (B, CAP) int8 per-column deletion
+    costs, m/n (B,) int32 real lengths. One device dispatch: banded NW +
+    on-device traceback walk. Returns (codes (B, 2*CAP) int8 backward op
+    streams, escaped (B,) bool, score (B, 1) int32)."""
+    q = q8.astype(jnp.int32)
+    t = t8.astype(jnp.int32)
+    gc = jnp.pad(jnp.cumsum(dc8.astype(jnp.int32), axis=1), ((0, 0), (1, 0)))
+    moves, score = nw_band_batch(q, t, gc, m_cap=m_cap, n_cap=n_cap,
+                                 w_band=w_band, match=match,
+                                 mismatch=mismatch, gap=gap,
+                                 interpret=interpret)
+    codes, escaped = walk_moves_device(moves[: q.shape[0]], m, n, m_cap=m_cap,
+                                       n_cap=n_cap, w_band=w_band,
+                                       max_steps=m_cap + n_cap)
+    return codes, escaped, score
+
+
+# ---------------------------------------------------------------------- #
 # pure-JAX reference implementation of the kernel (identical outputs: same
 # band geometry, same move packing, same score). Used (a) as the oracle in
 # kernel tests and (b) under shard_map on CPU meshes, where interpret-mode
