@@ -74,10 +74,30 @@ HELP = """usage: racon [options ...] <sequences> <overlaps> <target sequences>
             prints the version number
         -h, --help
             prints the usage
+
+    accepted for drop-in compatibility with racon's CUDA build (they select
+    the accelerator backend; batch counts are managed automatically):
+        -c, --cudapoa-batches <int>
+            default: 0
+            number of batches for CUDA accelerated polishing
+        -b, --cuda-banded-alignment
+            use banding approximation for polishing on GPU. Only applicable
+            when -c is used.
+        --cudaaligner-batches <int>
+            default: 0
+            number of batches for CUDA accelerated alignment
+        --cudaaligner-band-width <int>
+            default: 0
+            band width for cuda alignment (0 = auto band width)
 """
 
 
 def build_config(args) -> PolisherConfig:
+    backend = args.backend
+    if backend == "auto" and (args.cudapoa_batches > 0
+                              or args.cudaaligner_batches > 0):
+        backend = "tpu"  # reference CUDA flags request the accelerator
+    band = args.band_width or args.cudaaligner_band_width
     return PolisherConfig(
         type=PolisherType.kF if args.fragment_correction else PolisherType.kC,
         window_length=args.window_length,
@@ -88,8 +108,8 @@ def build_config(args) -> PolisherConfig:
         mismatch=args.mismatch,
         gap=args.gap,
         num_threads=args.threads,
-        backend=args.backend,
-        band_width=args.band_width,
+        backend=backend,
+        band_width=band,
         max_window_depth=args.max_window_depth,
         refine_passes=args.refine_passes,
         candidate_frac=args.candidate_frac,
@@ -116,6 +136,14 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--refine-passes", type=int, default=4)
     parser.add_argument("--candidate-frac", type=float, default=0.15)
     parser.add_argument("--candidate-min", type=int, default=2)
+    # drop-in aliases for racon's CUDA options (src/main.cpp:37-40): they
+    # request the accelerator path, which here is the TPU backend; batch
+    # sizing is automatic, so the counts only act as an on/off switch
+    parser.add_argument("-c", "--cudapoa-batches", type=int, nargs="?",
+                        const=1, default=0)
+    parser.add_argument("-b", "--cuda-banded-alignment", action="store_true")
+    parser.add_argument("--cudaaligner-batches", type=int, default=0)
+    parser.add_argument("--cudaaligner-band-width", type=int, default=0)
     parser.add_argument("--version", action="store_true")
     parser.add_argument("-h", "--help", action="store_true")
     parser.add_argument("inputs", nargs="*")

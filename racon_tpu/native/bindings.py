@@ -53,6 +53,10 @@ def _configure(lib: C.CDLL) -> C.CDLL:
     lib.rt_opstream_to_ops_batch.argtypes = [
         np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS"), C.c_int64,
         C.c_int64, C.c_int32, _i32p, _i64p, _i64p]
+    lib.rt_opstream_packed_to_ops_batch.argtypes = [
+        _u8p, C.c_int64, C.c_int64, C.c_int32, _i32p, _i64p, _i64p]
+    lib.rt_pack_rows.argtypes = [
+        _u8p, _i64p, _i64p, C.c_int64, C.c_int64, C.c_uint8, _u8p, C.c_int32]
     lib.rt_poa_round_batch.argtypes = [
         C.c_int64, _u8p, _i64p, _i32p, _i64p, _u8p, _i64p, _i32p, _i32p,
         _i32p, _i64p, C.c_int32, C.c_int32, C.c_int32, C.c_int32, C.c_double,
@@ -275,6 +279,37 @@ def opstream_to_ops_batch(codes, m, n, n_threads):
         np.ascontiguousarray(codes, np.int8), B, max_steps, n_threads, out,
         out_off, counts)
     return out.reshape(-1, 2), out_off, counts
+
+
+def opstream_packed_to_ops_batch(codes, max_steps, m, n, n_threads):
+    """codes: (B, max_steps//4) uint8 packed backward op streams (4 steps per
+    byte) from the device walk. Returns (ops flat (sum,2) int32, offsets,
+    counts)."""
+    lib = get_lib()
+    B = codes.shape[0]
+    m = np.asarray(m)
+    n = np.asarray(n)
+    out_off = np.zeros(B + 1, np.int64)
+    np.cumsum(m + n + 2, out=out_off[1:])
+    out = np.zeros(int(out_off[-1]) * 2, np.int32)
+    counts = np.zeros(B, np.int64)
+    lib.rt_opstream_packed_to_ops_batch(
+        _as_u8(codes), B, max_steps, n_threads, out, out_off, counts)
+    return out.reshape(-1, 2), out_off, counts
+
+
+def pack_rows(blob, starts, ends, cap, fill, n_threads, dtype=np.int8):
+    """Pad blob slices [starts[i], ends[i]) into a dense (B, cap) matrix of
+    `dtype` (int8/uint8) with `fill` in the tail (threaded native memcpy)."""
+    lib = get_lib()
+    B = len(starts)
+    out = np.empty((B, cap), np.uint8)
+    lib.rt_pack_rows(_as_u8(blob.view(np.uint8)),
+                     np.ascontiguousarray(starts, np.int64),
+                     np.ascontiguousarray(ends, np.int64), B, cap,
+                     np.uint8(fill & 0xFF if isinstance(fill, int) else fill),
+                     out, n_threads)
+    return out.view(dtype)
 
 
 def poa_round_batch(cur_blob, cur_off, curw_blob, layer_off, lay_blob,

@@ -384,6 +384,50 @@ void rt_opstream_to_ops_batch(const int8_t* codes, int64_t n_items,
     });
 }
 
+// same, but for 2-bit packed streams (4 steps per byte, step k in bits
+// [2*(k&3), 2*(k&3)+2) of byte k>>2) — the D2H-light device walk format
+void rt_opstream_packed_to_ops_batch(const uint8_t* codes, int64_t n_items,
+                                     int64_t max_steps, int32_t n_threads,
+                                     int32_t* out_ops,
+                                     const int64_t* out_ops_off,
+                                     int64_t* out_ops_count) {
+    const int64_t stride = max_steps / 4;
+    rt::parallel_for(n_items, n_threads, [&](int64_t i, int32_t) {
+        const uint8_t* s = codes + i * stride;
+        int32_t* dst = out_ops + out_ops_off[i] * 2;
+        const int64_t cap = out_ops_off[i + 1] - out_ops_off[i];
+        int64_t cnt = 0;
+        int32_t prev = -1;
+        for (int64_t k = max_steps - 1; k >= 0; --k) {
+            const int32_t op = (s[k >> 2] >> (2 * (k & 3))) & 3;
+            if (op == 3) continue;
+            if (op == prev && cnt > 0) {
+                dst[(cnt - 1) * 2 + 1] += 1;
+            } else if (cnt < cap) {
+                dst[cnt * 2] = op;
+                dst[cnt * 2 + 1] = 1;
+                ++cnt;
+                prev = op;
+            }
+        }
+        out_ops_count[i] = cnt;
+    });
+}
+
+// pad variable-length blob slices into a dense (n_rows, cap) byte matrix —
+// the host-side batch packer for device payloads (threaded memcpy)
+void rt_pack_rows(const uint8_t* blob, const int64_t* starts,
+                  const int64_t* ends, int64_t n_rows, int64_t cap,
+                  uint8_t fill, uint8_t* out, int32_t n_threads) {
+    rt::parallel_for(n_rows, n_threads, [&](int64_t i, int32_t) {
+        uint8_t* dst = out + i * cap;
+        int64_t len = ends[i] - starts[i];
+        if (len > cap) len = cap;
+        if (len > 0) std::memcpy(dst, blob + starts[i], len);
+        if (len < cap) std::memset(dst + len, fill, cap - len);
+    });
+}
+
 }  // extern "C"
 
 extern "C" {

@@ -14,8 +14,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from .consensus_stage_tpu import _pack_rows
-from .nw_kernel import align_walk_batch, encode, PAD_CODE
+from .consensus_stage_tpu import _concat_off
+from .nw_kernel import align_walk_batch, encode, walk_steps, PAD_CODE
 
 # canonical (cap, band) tiers; items beyond the last tier go to the host
 _TIERS = ((1280, 256), (2560, 512), (5120, 768), (10240, 1024),
@@ -79,20 +79,24 @@ class TpuAlignStage:
             meta["t_begin"][z] = tb
             meta["t_end"][z] = te
 
+        # flat columnar layout: one blob per side, encoded once, packed into
+        # the dense device matrices by the threaded native packer
+        thr = self.cfg.num_threads
+        qblob_raw, qoff_all = _concat_off([s[0] for s in slices])
+        tblob_raw, toff_all = _concat_off([s[1] for s in slices])
+        qenc = encode(qblob_raw).astype(np.int8)
+        tenc = encode(tblob_raw).astype(np.int8)
+        mlen = np.diff(qoff_all)
+        nlen = np.diff(toff_all)
+
         # bucket by the canonical tiers; |n - m| must fit well within band
         tiers = _TIERS if not self.interpret else ((256, 128),)
-        buckets: dict[int, list[int]] = {ti: [] for ti in range(len(tiers))}
-        host: list[int] = []
-        for z, (qarr, tarr) in enumerate(slices):
-            m, n = len(qarr), len(tarr)
-            placed = False
-            for ti, (cap, band) in enumerate(tiers):
-                if m <= cap and n <= cap and abs(n - m) <= band // 2 - 64:
-                    buckets[ti].append(z)
-                    placed = True
-                    break
-            if not placed:
-                host.append(z)
+        tier_id = np.full(len(indices), -1, np.int64)
+        for ti, (cap, band) in enumerate(tiers):
+            ok = ((tier_id < 0) & (mlen <= cap) & (nlen <= cap)
+                  & (np.abs(nlen - mlen) <= band // 2 - 64))
+            tier_id[ok] = ti
+        host: list[int] = list(np.flatnonzero(tier_id < 0))
 
         all_ops: list[np.ndarray | None] = [None] * len(indices)
         all_counts = np.zeros(len(indices), np.int64)
@@ -100,35 +104,33 @@ class TpuAlignStage:
         # one fused align+walk dispatch per chunk; dispatch everything, then
         # fetch in order so transfers/compute/drain pipeline (async dispatch)
         pending = []
-        for ti, members in buckets.items():
-            if not members:
-                continue
-            cap, band = tiers[ti]
+        for ti, (cap, band) in enumerate(tiers):
+            members = np.flatnonzero(tier_id == ti)
             step = _chunk_size(cap, band)
             for c0 in range(0, len(members), step):
-                chunk = members[c0 : c0 + step]
-                qparts = [encode(slices[z][0]).astype(np.int8)
-                          for z in chunk]
-                tparts = [encode(slices[z][1]).astype(np.int8)
-                          for z in chunk]
-                q8 = _pack_rows(qparts, cap, PAD_CODE)
-                t8 = _pack_rows(tparts, cap, PAD_CODE)
-                dc8 = np.full((len(chunk), cap), -1, np.int8)
-                ms = np.fromiter((len(p) for p in qparts), np.int64,
-                                 len(chunk))
-                ns = np.fromiter((len(p) for p in tparts), np.int64,
-                                 len(chunk))
-                codes, escaped, _ = align_walk_batch(
-                    q8, t8, dc8, ms.astype(np.int32), ns.astype(np.int32),
-                    m_cap=cap, n_cap=cap, w_band=band, match=0, mismatch=-1,
-                    gap=-1, interpret=self.interpret)
-                pending.append((chunk, codes, escaped, ms, ns))
-        for chunk, codes, escaped, ms, ns in pending:
-            codes = np.asarray(codes)
-            escaped = np.asarray(escaped)
-            ops_flat, ops_off, counts = bindings.opstream_to_ops_batch(
-                codes, ms, ns, self.cfg.num_threads)
-            for bi, z in enumerate(chunk):
+                sel = members[c0 : c0 + step]
+                q8 = bindings.pack_rows(qenc, qoff_all[sel],
+                                        qoff_all[sel] + mlen[sel], cap,
+                                        PAD_CODE, thr)
+                t8 = bindings.pack_rows(tenc, toff_all[sel],
+                                        toff_all[sel] + nlen[sel], cap,
+                                        PAD_CODE, thr)
+                dc8 = np.full((len(sel), cap), -1, np.int8)
+                payload, _ = align_walk_batch(
+                    q8, t8, dc8, mlen[sel].astype(np.int32),
+                    nlen[sel].astype(np.int32), m_cap=cap, n_cap=cap,
+                    w_band=band, match=0, mismatch=-1, gap=-1,
+                    interpret=self.interpret)
+                if hasattr(payload, "copy_to_host_async"):
+                    payload.copy_to_host_async()  # overlap D2H with compute
+                pending.append((sel, cap, band, payload))
+        for sel, cap, band, payload in pending:
+            payload = np.asarray(payload)
+            codes = np.ascontiguousarray(payload[:, :-1])
+            escaped = payload[:, -1] != 0
+            ops_flat, ops_off, counts = bindings.opstream_packed_to_ops_batch(
+                codes, walk_steps(cap, cap, band), mlen[sel], nlen[sel], thr)
+            for bi, z in enumerate(sel):
                 if escaped[bi]:
                     host.append(z)
                 else:

@@ -11,6 +11,13 @@ This replaces the reference's spoa window loop (src/polisher.cpp:486-504) and
 its CUDA batch path (src/cuda/cudapolisher.cpp:216-353) with fixed-shape
 device batches + a host merge, with the same fill/launch/drain overlap role
 played by XLA's async dispatch.
+
+Host-side layout is columnar: one flat blob per payload (layer codes, layer
+raw bytes, weights; per-round backbone/deletion-cost blobs), per-item offset
+arrays, and threaded native packing into the dense device matrices
+(bindings.pack_rows) — no per-item Python in the hot loop. Device op streams
+come back 2-bit packed (nw_kernel.walk_steps) to fit the tethered chip's
+downlink.
 """
 
 from __future__ import annotations
@@ -18,7 +25,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..utils.phred import PHRED_OFFSET
-from .nw_kernel import align_walk_batch, encode, PAD_CODE
+from .nw_kernel import align_walk_batch, encode, walk_steps, PAD_CODE
 
 _DEVICE_CHUNK = 4096  # alignments per device dispatch
 
@@ -41,7 +48,7 @@ def _margin(w_band: int) -> int:
 def _pack_rows(parts: list[np.ndarray], cap: int, fill: int,
                dtype=np.int8) -> np.ndarray:
     """Pad variable-length rows into a (B, cap) matrix without a Python
-    per-element loop."""
+    per-element loop (numpy fallback; the hot path uses the native packer)."""
     B = len(parts)
     out = np.full((B, cap), fill, dtype)
     lens = np.fromiter((len(p) for p in parts), np.int64, B)
@@ -52,6 +59,15 @@ def _pack_rows(parts: list[np.ndarray], cap: int, fill: int,
     cols = np.arange(total) - np.repeat(starts, lens)
     out[rows, cols] = np.concatenate(parts) if parts else []
     return out
+
+
+def _concat_off(parts: list[np.ndarray]):
+    """(blob, offsets) of a list of 1-D arrays."""
+    off = np.zeros(len(parts) + 1, np.int64)
+    lens = np.fromiter((len(p) for p in parts), np.int64, len(parts))
+    np.cumsum(lens, out=off[1:])
+    blob = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+    return blob, off
 
 
 class TpuConsensusStage:
@@ -100,44 +116,20 @@ class TpuConsensusStage:
         if not active:
             return [c or b"" for c in consensus], polished
 
-        # per-layer raw data/weights/codes, packed once
-        lay_data: dict[int, np.ndarray] = {}
-        lay_codes: dict[int, np.ndarray] = {}
-        lay_weights: dict[int, np.ndarray] = {}
-        max_q = 0
-        for w in active:
-            for li in windows.layer_indices(w):
-                li = int(li)
-                d = windows.layer_data(li)
-                q = windows.layer_quality(li)
-                lay_data[li] = d
-                lay_codes[li] = encode(d).astype(np.int8)
-                lay_weights[li] = (q.astype(np.int32) - PHRED_OFFSET
-                                   if q is not None
-                                   else np.ones(len(d), np.int32))
-                max_q = max(max_q, len(d))
+        # ---- static per-item structure (fixed across refinement rounds):
+        # items are all (window, layer) pairs grouped by window in `active`
+        # order, which is exactly the layout rt_poa_round_batch consumes
+        st = _StaticItems(windows, active)
 
         # refinement state per active window
         gap = cfg.gap
-        state_cur = {}
-        state_w = {}
-        state_del = {}
-        state_slots = {}
-        max_bb = 0
-        for w in active:
-            bb = np.asarray(windows.backbone(w))
-            bq = windows.backbone_quality(w)
-            state_cur[w] = bb
-            state_w[w] = (bq.astype(np.int32) - PHRED_OFFSET if bq is not None
-                          else np.zeros(len(bb), np.int32))
-            state_del[w] = np.full(len(bb), gap, np.int32)
-            state_slots[w] = np.arange(len(bb), dtype=np.int64)
-            max_bb = max(max_bb, len(bb))
+        state = _RoundState(windows, active, gap)
 
         # ceiling on backbone expansion: the largest canonical tier that
         # could ever be needed for this window set (items are bucketed to
         # per-round tiers from their ACTUAL lengths in _one_round)
-        needed = max(max_q, 2 * max_bb + 64, 256)
+        needed = max(int(st.lay_len.max(initial=0)),
+                     2 * state.max_backbone + 64, 256)
         for cap, _ in _TIERS:
             if needed <= cap:
                 break
@@ -150,10 +142,8 @@ class TpuConsensusStage:
         passes = max(1, cfg.refine_passes)
         for ps in range(passes):
             final = ps == passes - 1
-            self._one_round(windows, cfg, active, lay_data, lay_codes,
-                            lay_weights, state_cur, state_w, state_del,
-                            state_slots, max_expand, final, tgs,
-                            consensus, polished, bindings)
+            self._one_round(windows, cfg, active, st, state, max_expand,
+                            final, tgs, consensus, polished, bindings)
             logger.bar("[racon::Polisher::polish] generating consensus")
         for _ in range(20):
             logger.bar("[racon::Polisher::polish] generating consensus")
@@ -161,82 +151,85 @@ class TpuConsensusStage:
 
     # ------------------------------------------------------------------ #
 
-    def _one_round(self, windows, cfg, active, lay_data, lay_codes,
-                   lay_weights, state_cur, state_w, state_del, state_slots,
-                   max_expand, final, tgs, consensus, polished, bindings):
+    def _one_round(self, windows, cfg, active, st, state, max_expand, final,
+                   tgs, consensus, polished, bindings):
         gap = cfg.gap
-        # 1. span projection + alignment item list
-        items = []  # (window, layer_idx, sb, se)
-        for w in active:
-            cur = state_cur[w]
-            slots = state_slots[w]
-            n = len(cur)
-            offset = 0.01 * n
-            for li in windows.layer_indices(w):
-                li = int(li)
-                b = int(windows.lay_begin[li])
-                e = int(windows.lay_end[li])
-                sb = int(np.searchsorted(slots, b, side="left"))
-                se = int(np.searchsorted(slots, e, side="right")) - 1
-                sb = max(0, min(sb, n - 1))
-                se = max(sb, min(se, n - 1))
-                if sb < offset and se > n - offset:
-                    sb, se = 0, n - 1
-                items.append((w, li, sb, se))
+        thr = cfg.num_threads
+        n_items = st.n_items
 
-        # per-round encodings of the current backbones (sliced per item)
-        enc_cur = {w: encode(state_cur[w]).astype(np.int8) for w in active}
-        del8 = {w: state_del[w].astype(np.int8) for w in active}
+        # 1. per-round backbone blobs + span projection (vectorized)
+        cur_blob, bb_off = _concat_off([state.cur[w] for w in active])
+        cur_enc = encode(cur_blob).astype(np.int8)
+        del32 = (np.concatenate([state.dcost[w] for w in active])
+                 if active else np.zeros(0, np.int32))
+        del8 = del32.astype(np.int8)
+        curw_blob = (np.concatenate([state.w[w] for w in active])
+                     if active else np.zeros(0, np.int32))
+
+        sb = np.empty(n_items, np.int64)
+        se = np.empty(n_items, np.int64)
+        for z, w in enumerate(active):
+            i0, i1 = st.item_off[z], st.item_off[z + 1]
+            slots = state.slots[w]
+            n = len(slots)
+            lb = windows.lay_begin[st.item_li[i0:i1]]
+            le = windows.lay_end[st.item_li[i0:i1]]
+            s0 = np.searchsorted(slots, lb, side="left")
+            s1 = np.searchsorted(slots, le, side="right") - 1
+            s0 = np.clip(s0, 0, n - 1)
+            s1 = np.maximum(s0, np.minimum(s1, n - 1))
+            off = 0.01 * n
+            full = (s0 < off) & (s1 > n - off)
+            sb[i0:i1] = np.where(full, 0, s0)
+            se[i0:i1] = np.where(full, n - 1, s1)
+        nlen = se - sb + 1
+        mlen = st.lay_len
+        t_start = bb_off[st.item_wz] + sb
+        t_end = bb_off[st.item_wz] + se + 1
 
         # 2. bucket items into the smallest tier that fits length and
         # mismatch; oversized/over-drifted items run on the host pool
         tiers = [t for t in _TIERS if t[0] <= max_expand] or [_TIERS[0]]
-        buckets = {t: [] for t in tiers}
-        host_idx = []
-        for k, (w, li, sb, se) in enumerate(items):
-            m = len(lay_codes[li])
-            n = se - sb + 1
-            for cap, w_band in tiers:
-                if m <= cap and n <= cap and abs(n - m) <= _margin(w_band):
-                    buckets[(cap, w_band)].append(k)
-                    break
-            else:
-                host_idx.append(k)
+        tier_id = np.full(n_items, -1, np.int64)
+        for ti, (cap, wb) in enumerate(tiers):
+            ok = ((tier_id < 0) & (mlen <= cap) & (nlen <= cap)
+                  & (np.abs(nlen - mlen) <= _margin(wb)))
+            tier_id[ok] = ti
 
-        all_ops = [None] * len(items)
+        all_ops: list[np.ndarray | None] = [None] * n_items
+        host_idx = list(np.flatnonzero(tier_id < 0))
 
         # 3. device alignment: one fused align+walk dispatch per chunk; all
         # chunks are dispatched before any result is fetched so H2D, compute
         # and D2H pipeline across chunks (async dispatch)
         pending = []
-        for (cap, w_band), dev_idx in buckets.items():
+        for ti, (cap, w_band) in enumerate(tiers):
+            dev_idx = np.flatnonzero(tier_id == ti)
             for c0 in range(0, len(dev_idx), _DEVICE_CHUNK):
-                chunk = dev_idx[c0 : c0 + _DEVICE_CHUNK]
-                qparts, tparts, dparts = [], [], []
-                for k in chunk:
-                    w, li, sb, se = items[k]
-                    qparts.append(lay_codes[li])
-                    tparts.append(enc_cur[w][sb : se + 1])
-                    dparts.append(del8[w][sb : se + 1])
-                q8 = _pack_rows(qparts, cap, PAD_CODE)
-                t8 = _pack_rows(tparts, cap, PAD_CODE)
-                dc8 = _pack_rows(dparts, cap, gap)
-                ms = np.fromiter((len(p) for p in qparts), np.int64,
-                                 len(chunk))
-                ns = np.fromiter((len(p) for p in tparts), np.int64,
-                                 len(chunk))
-                codes, escaped, _ = align_walk_batch(
-                    q8, t8, dc8, ms.astype(np.int32), ns.astype(np.int32),
-                    m_cap=cap, n_cap=cap, w_band=w_band, match=cfg.match,
-                    mismatch=cfg.mismatch, gap=gap,
-                    interpret=self.interpret)
-                pending.append((chunk, codes, escaped, ms, ns))
-        for chunk, codes, escaped, ms, ns in pending:
-            codes = np.asarray(codes)
-            escaped = np.asarray(escaped)
-            ops_flat, ops_off, counts = bindings.opstream_to_ops_batch(
-                codes, ms, ns, cfg.num_threads)
-            for bi, k in enumerate(chunk):
+                sel = dev_idx[c0 : c0 + _DEVICE_CHUNK]
+                q8 = bindings.pack_rows(st.lay_codes, st.lay_off[sel],
+                                        st.lay_off[sel] + mlen[sel], cap,
+                                        PAD_CODE, thr)
+                t8 = bindings.pack_rows(cur_enc, t_start[sel], t_end[sel],
+                                        cap, PAD_CODE, thr)
+                dc8 = bindings.pack_rows(del8, t_start[sel], t_end[sel],
+                                         cap, gap, thr)
+                payload, _ = align_walk_batch(
+                    q8, t8, dc8, mlen[sel].astype(np.int32),
+                    nlen[sel].astype(np.int32), m_cap=cap, n_cap=cap,
+                    w_band=w_band, match=cfg.match, mismatch=cfg.mismatch,
+                    gap=gap, interpret=self.interpret)
+                if hasattr(payload, "copy_to_host_async"):
+                    payload.copy_to_host_async()  # overlap D2H with compute
+                pending.append((sel, cap, w_band, payload))
+        for sel, cap, w_band, payload in pending:
+            payload = np.asarray(payload)
+            codes = np.ascontiguousarray(payload[:, :-1])
+            escaped = payload[:, -1] != 0
+            ops_flat, ops_off, counts = bindings.opstream_packed_to_ops_batch(
+                codes, walk_steps(cap, cap, w_band), mlen[sel], nlen[sel],
+                thr)
+            for bi, k in enumerate(sel):
                 if escaped[bi]:
                     host_idx.append(k)  # band escape -> host realign
                 else:
@@ -245,60 +238,31 @@ class TpuConsensusStage:
 
         # 4. host fallback alignment (per-column costs)
         if host_idx:
-            qoff = np.zeros(len(host_idx) + 1, np.int64)
-            toff = np.zeros(len(host_idx) + 1, np.int64)
-            qparts, tparts, dparts = [], [], []
-            for z, k in enumerate(host_idx):
-                w, li, sb, se = items[k]
-                qparts.append(lay_data[li])
-                tparts.append(state_cur[w][sb : se + 1])
-                dparts.append(state_del[w][sb : se + 1])
-                qoff[z + 1] = qoff[z] + len(qparts[-1])
-                toff[z + 1] = toff[z] + len(tparts[-1])
+            qparts = [st.lay_blob[st.lay_off[k] : st.lay_off[k] + mlen[k]]
+                      for k in host_idx]
+            tparts = [cur_blob[t_start[k] : t_end[k]] for k in host_idx]
+            dparts = [del32[t_start[k] : t_end[k]] for k in host_idx]
+            qblob, qoff = _concat_off(qparts)
+            tblob, toff = _concat_off(tparts)
             ops_flat, ops_off, counts = bindings.align_batch_percol(
-                np.concatenate(qparts), qoff, np.concatenate(tparts), toff,
-                np.concatenate(dparts), cfg.match, cfg.mismatch, gap,
-                cfg.num_threads)
+                qblob, qoff, tblob, toff, np.concatenate(dparts), cfg.match,
+                cfg.mismatch, gap, thr)
             for z, k in enumerate(host_idx):
                 o = int(ops_off[z])
                 all_ops[k] = ops_flat[o : o + int(counts[z])]
 
         # 5. merge round per window (native)
-        cur_off = np.zeros(len(active) + 1, np.int64)
-        cur_parts, curw_parts = [], []
-        layer_off = np.zeros(len(active) + 1, np.int64)
-        for z, w in enumerate(active):
-            cur_parts.append(state_cur[w])
-            curw_parts.append(state_w[w])
-            cur_off[z + 1] = cur_off[z] + len(state_cur[w])
-            layer_off[z + 1] = layer_off[z] + windows.n_layers(w)
-        n_lay = int(layer_off[-1])
-        lay_blob_parts, layw_parts, span_begin = [], [], np.zeros(n_lay, np.int32)
-        lay_doff = np.zeros(n_lay + 1, np.int64)
-        ops_off2 = np.zeros(n_lay + 1, np.int64)
-        ops_parts = []
-        for k, (w, li, sb, se) in enumerate(items):
-            lay_blob_parts.append(lay_data[li])
-            layw_parts.append(lay_weights[li])
-            lay_doff[k + 1] = lay_doff[k] + len(lay_data[li])
-            span_begin[k] = sb
-            ops_parts.append(all_ops[k])
-            ops_off2[k + 1] = ops_off2[k] + len(all_ops[k])
-        ops_blob = (np.concatenate(ops_parts) if ops_parts
-                    else np.zeros((0, 2), np.int32))
-        win_id = np.array([windows.win_target[w] for w in active], np.int64)
-        win_rank = np.array([windows.win_rank[w] for w in active], np.int32)
-        capacity = np.array([2 * len(state_cur[w]) + 512 for w in active],
+        ops_blob, ops_off2 = _concat_off(all_ops)
+        capacity = np.array([2 * len(state.cur[w]) + 512 for w in active],
                             np.int64)
         out_blob, out_off, out_len, out_del, out_slots, out_pol = \
             bindings.poa_round_batch(
-                np.concatenate(cur_parts), cur_off,
-                np.concatenate(curw_parts), layer_off,
-                np.concatenate(lay_blob_parts), lay_doff,
-                np.concatenate(layw_parts), span_begin, ops_blob, ops_off2,
+                cur_blob, bb_off, curw_blob, st.item_off,
+                st.lay_blob, st.lay_off, st.layw_blob,
+                sb.astype(np.int32), ops_blob, ops_off2,
                 final, tgs, cfg.trim, gap, cfg.candidate_frac,
-                cfg.candidate_min, max_expand, win_id, win_rank,
-                cfg.num_threads, capacity)
+                cfg.candidate_min, max_expand, st.win_id, st.win_rank,
+                thr, capacity)
 
         raw = out_blob.tobytes()
         for z, w in enumerate(active):
@@ -308,9 +272,67 @@ class TpuConsensusStage:
                 consensus[w] = raw[o : o + ln]
                 polished[w] = bool(out_pol[z])
             else:
-                state_cur[w] = out_blob[o : o + ln].copy()
-                state_del[w] = out_del[o : o + ln].copy()
+                state.cur[w] = out_blob[o : o + ln].copy()
+                state.dcost[w] = out_del[o : o + ln].copy()
                 local = out_slots[o : o + ln].astype(np.int64)
-                prev = state_slots[w]
-                state_slots[w] = prev[np.minimum(local, len(prev) - 1)]
-                state_w[w] = np.zeros(ln, np.int32)
+                prev = state.slots[w]
+                state.slots[w] = prev[np.minimum(local, len(prev) - 1)]
+                state.w[w] = np.zeros(ln, np.int32)
+
+
+class _StaticItems:
+    """Round-invariant item layout: flat blobs + offsets for every
+    (window, layer) pair, grouped by window in `active` order."""
+
+    def __init__(self, windows, active):
+        item_li_parts = [np.asarray(windows.layer_indices(w), np.int64)
+                         for w in active]
+        self.item_li = (np.concatenate(item_li_parts) if item_li_parts
+                        else np.zeros(0, np.int64))
+        counts = np.fromiter((len(p) for p in item_li_parts), np.int64,
+                             len(active))
+        self.item_off = np.zeros(len(active) + 1, np.int64)
+        np.cumsum(counts, out=self.item_off[1:])
+        self.item_wz = np.repeat(np.arange(len(active)), counts)
+        self.n_items = int(self.item_off[-1])
+
+        lay_parts = []
+        layw_parts = []
+        for li in self.item_li:
+            li = int(li)
+            d = windows.layer_data(li)
+            q = windows.layer_quality(li)
+            lay_parts.append(d)
+            layw_parts.append(q.astype(np.int32) - PHRED_OFFSET
+                              if q is not None
+                              else np.ones(len(d), np.int32))
+        self.lay_blob, self.lay_off = _concat_off(lay_parts)
+        self.lay_len = np.diff(self.lay_off)
+        self.lay_codes = encode(self.lay_blob).astype(np.int8)
+        self.layw_blob = (np.concatenate(layw_parts) if layw_parts
+                          else np.zeros(0, np.int32))
+        self.win_id = np.array([windows.win_target[w] for w in active],
+                               np.int64)
+        self.win_rank = np.array([windows.win_rank[w] for w in active],
+                                 np.int32)
+
+
+class _RoundState:
+    """Per-window refinement state: current backbone bytes, per-column
+    weights and deletion costs, and slot->original-position mapping."""
+
+    def __init__(self, windows, active, gap):
+        self.cur = {}
+        self.w = {}
+        self.dcost = {}
+        self.slots = {}
+        self.max_backbone = 0
+        for w in active:
+            bb = np.asarray(windows.backbone(w))
+            bq = windows.backbone_quality(w)
+            self.cur[w] = bb
+            self.w[w] = (bq.astype(np.int32) - PHRED_OFFSET if bq is not None
+                         else np.zeros(len(bb), np.int32))
+            self.dcost[w] = np.full(len(bb), gap, np.int32)
+            self.slots[w] = np.arange(len(bb), dtype=np.int64)
+            self.max_backbone = max(self.max_backbone, len(bb))

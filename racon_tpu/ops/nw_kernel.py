@@ -249,6 +249,18 @@ def nw_band_batch(q, t, gc, *, m_cap, n_cap, w_band, match, mismatch, gap,
 # ---------------------------------------------------------------------- #
 
 
+def walk_steps(m_cap: int, n_cap: int, w_band: int) -> int:
+    """Static op-stream length for the fused path: long enough for the pad
+    tail (m_cap - m diagonal steps + corner gap run) plus any in-band real
+    path with generous indel headroom, 4-aligned for 2-bit packing. Paths
+    that would exceed it are flagged escaped and re-aligned on the host."""
+    return min(_round4(m_cap + 2 * w_band), _round4(m_cap + n_cap))
+
+
+def _round4(x: int) -> int:
+    return -(-x // 4) * 4
+
+
 @functools.partial(jax.jit, static_argnames=("m_cap", "n_cap", "w_band",
                                              "match", "mismatch", "gap",
                                              "interpret"))
@@ -256,8 +268,11 @@ def align_walk_batch(q8, t8, dc8, m, n, *, m_cap, n_cap, w_band, match,
                      mismatch, gap, interpret=False):
     """q8/t8 (B, CAP) int8 codes, dc8 (B, CAP) int8 per-column deletion
     costs, m/n (B,) int32 real lengths. One device dispatch: banded NW +
-    on-device traceback walk. Returns (codes (B, 2*CAP) int8 backward op
-    streams, escaped (B,) bool, score (B, 1) int32)."""
+    on-device traceback walk. Returns (payload (B, walk_steps(...)//4 + 1)
+    uint8, score (B, 1) int32) where payload[:, :-1] is the backward op
+    stream packed 4 steps/byte and payload[:, -1] the band-escape flag —
+    one array so the host drains ONE D2H transfer per dispatch (the
+    tethered chip's downlink latency dominates otherwise)."""
     q = q8.astype(jnp.int32)
     t = t8.astype(jnp.int32)
     gc = jnp.pad(jnp.cumsum(dc8.astype(jnp.int32), axis=1), ((0, 0), (1, 0)))
@@ -265,10 +280,12 @@ def align_walk_batch(q8, t8, dc8, m, n, *, m_cap, n_cap, w_band, match,
                                  w_band=w_band, match=match,
                                  mismatch=mismatch, gap=gap,
                                  interpret=interpret)
-    codes, escaped = walk_moves_device(moves[: q.shape[0]], m, n, m_cap=m_cap,
-                                       n_cap=n_cap, w_band=w_band,
-                                       max_steps=m_cap + n_cap)
-    return codes, escaped, score
+    codes, escaped = walk_moves_device(
+        moves[: q.shape[0]], m, n, m_cap=m_cap, n_cap=n_cap, w_band=w_band,
+        max_steps=walk_steps(m_cap, n_cap, w_band), packed=True)
+    payload = jnp.concatenate([codes, escaped[:, None].astype(jnp.uint8)],
+                              axis=1)
+    return payload, score
 
 
 # ---------------------------------------------------------------------- #
@@ -359,12 +376,17 @@ OP_STREAM_SKIP = 3  # pad-consuming or finished steps
 
 
 @functools.partial(jax.jit, static_argnames=("m_cap", "n_cap", "w_band",
-                                             "max_steps"))
-def walk_moves_device(moves, m, n, *, m_cap, n_cap, w_band, max_steps):
+                                             "max_steps", "packed"))
+def walk_moves_device(moves, m, n, *, m_cap, n_cap, w_band, max_steps,
+                      packed=False):
     """moves (B, m_cap//16, W) int32 (device), m/n (B,) int32 real lengths.
 
     Returns (codes (B, max_steps) int8 emitted BACKWARD from the corner
-    (0=match, 1=ins, 2=del, 3=skip), escaped (B,) bool band-escape flags)."""
+    (0=match, 1=ins, 2=del, 3=skip), escaped (B,) bool band-escape flags).
+    With packed=True (max_steps % 4 == 0), codes come back as
+    (B, max_steps//4) uint8 with step 4p+u in bits [2u, 2u+2) of byte p.
+    Walks that fail to reach the origin within max_steps are flagged
+    escaped (host fallback), so a short max_steps is safe."""
     B = moves.shape[0]
     dlo = band_dlo(m_cap, n_cap, w_band)
     mflat = moves.reshape(B, -1)
@@ -396,5 +418,11 @@ def walk_moves_device(moves, m, n, *, m_cap, n_cap, w_band, max_steps):
     init = (jnp.full((B,), m_cap, jnp.int32),
             jnp.full((B,), n_cap, jnp.int32),
             jnp.zeros((B,), bool))
-    (_, _, escaped), outs = jax.lax.scan(step, init, None, length=max_steps)
-    return outs.T, escaped
+    (fi, fj, escaped), outs = jax.lax.scan(step, init, None, length=max_steps)
+    escaped = escaped | (fi != 0) | (fj != 0)  # truncated walk -> fallback
+    if not packed:
+        return outs.T, escaped
+    assert max_steps % 4 == 0
+    quads = outs.astype(jnp.uint8).reshape(max_steps // 4, 4, B)
+    shifts = (2 * jnp.arange(4, dtype=jnp.uint8))[None, :, None]
+    return jnp.sum(quads << shifts, axis=1, dtype=jnp.uint8).T, escaped
