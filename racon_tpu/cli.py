@@ -164,9 +164,28 @@ def main(argv: list[str] | None = None) -> int:
         print(HELP, end="")
         return 1
 
+    cfg = build_config(args)
+    if cfg.backend in ("auto", "tpu"):
+        # import jax + open the device link on a side thread so the cost
+        # overlaps with input parsing (both are seconds-scale on a
+        # tethered chip; parsing releases the GIL in the native runtime)
+        import threading
+
+        def _warm():
+            try:
+                from .utils.jaxenv import setup_jax, warmup_async
+                setup_jax()
+                import jax
+                if jax.devices()[0].platform != "cpu":
+                    warmup_async()
+            except Exception:
+                pass
+
+        threading.Thread(target=_warm, daemon=True).start()
+
     try:
         polisher = create_polisher(args.inputs[0], args.inputs[1],
-                                   args.inputs[2], build_config(args))
+                                   args.inputs[2], cfg)
         polisher.initialize()
         polished = polisher.polish(not args.include_unpolished)
     except RaconError as e:

@@ -15,11 +15,14 @@ from __future__ import annotations
 import numpy as np
 
 from .consensus_stage_tpu import _concat_off
-from .nw_kernel import align_walk_batch, encode, walk_steps, PAD_CODE
+from .nw_kernel import align_walk_padded, encode, walk_steps, PAD_CODE
 
-# canonical (cap, band) tiers; items beyond the last tier go to the host
-_TIERS = ((1280, 256), (2560, 512), (5120, 768), (10240, 1024),
-          (20480, 1024), (40960, 1024))
+# canonical (cap, band) tiers; items beyond the last tier go to the host.
+# Few tiers on purpose: every distinct compiled shape costs ~2s of
+# executable load per process on a tethered chip. Wide bands on the long
+# tiers keep ONT-scale indel drift on the device instead of the host
+# fallback (band//2-64 margin per tier).
+_TIERS = ((2560, 512), (10240, 2048), (40960, 2048))
 _MOVES_BUDGET = 1 << 30  # bytes of HBM for one chunk's packed-move planes
 
 
@@ -39,13 +42,14 @@ class TpuAlignStage:
         if not loader.available():
             return None
         try:
-            from ..utils.jaxenv import setup_jax
+            from ..utils.jaxenv import setup_jax, warmup_async
             setup_jax()
             import jax
             platform = jax.devices()[0].platform
         except Exception:
             return None
         if platform != "cpu":
+            warmup_async()  # open the device link while the host parses
             return cls(cfg, interpret=False)
         if cfg.backend == "tpu":
             return cls(cfg, interpret=True)
@@ -116,7 +120,7 @@ class TpuAlignStage:
                                         toff_all[sel] + nlen[sel], cap,
                                         PAD_CODE, thr)
                 dc8 = np.full((len(sel), cap), -1, np.int8)
-                payload, _ = align_walk_batch(
+                payload, _ = align_walk_padded(
                     q8, t8, dc8, mlen[sel].astype(np.int32),
                     nlen[sel].astype(np.int32), m_cap=cap, n_cap=cap,
                     w_band=band, match=0, mismatch=-1, gap=-1,
@@ -125,7 +129,7 @@ class TpuAlignStage:
                     payload.copy_to_host_async()  # overlap D2H with compute
                 pending.append((sel, cap, band, payload))
         for sel, cap, band, payload in pending:
-            payload = np.asarray(payload)
+            payload = np.asarray(payload)[: len(sel)]
             codes = np.ascontiguousarray(payload[:, :-1])
             escaped = payload[:, -1] != 0
             ops_flat, ops_off, counts = bindings.opstream_packed_to_ops_batch(

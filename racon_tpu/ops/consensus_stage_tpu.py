@@ -25,7 +25,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..utils.phred import PHRED_OFFSET
-from .nw_kernel import align_walk_batch, encode, walk_steps, PAD_CODE
+from .nw_kernel import align_walk_padded, encode, walk_steps, PAD_CODE
 
 _DEVICE_CHUNK = 4096  # alignments per device dispatch
 
@@ -83,13 +83,14 @@ class TpuConsensusStage:
         if cfg.gap < -120 or cfg.match > 120 or cfg.mismatch < -120:
             return None  # int8 device payloads; native path handles these
         try:
-            from ..utils.jaxenv import setup_jax
+            from ..utils.jaxenv import setup_jax, warmup_async
             setup_jax()
             import jax
             platform = jax.devices()[0].platform
         except Exception:
             return None
         if platform != "cpu":
+            warmup_async()  # open the device link while the host parses
             return cls(cfg, interpret=False)
         if cfg.backend == "tpu":  # explicit: run the kernel interpreted
             return cls(cfg, interpret=True)
@@ -214,7 +215,7 @@ class TpuConsensusStage:
                                         cap, PAD_CODE, thr)
                 dc8 = bindings.pack_rows(del8, t_start[sel], t_end[sel],
                                          cap, gap, thr)
-                payload, _ = align_walk_batch(
+                payload, _ = align_walk_padded(
                     q8, t8, dc8, mlen[sel].astype(np.int32),
                     nlen[sel].astype(np.int32), m_cap=cap, n_cap=cap,
                     w_band=w_band, match=cfg.match, mismatch=cfg.mismatch,
@@ -223,7 +224,7 @@ class TpuConsensusStage:
                     payload.copy_to_host_async()  # overlap D2H with compute
                 pending.append((sel, cap, w_band, payload))
         for sel, cap, w_band, payload in pending:
-            payload = np.asarray(payload)
+            payload = np.asarray(payload)[: len(sel)]
             codes = np.ascontiguousarray(payload[:, :-1])
             escaped = payload[:, -1] != 0
             ops_flat, ops_off, counts = bindings.opstream_packed_to_ops_batch(

@@ -288,6 +288,29 @@ def align_walk_batch(q8, t8, dc8, m, n, *, m_cap, n_cap, w_band, match,
     return payload, score
 
 
+def align_walk_padded(q8, t8, dc8, m, n, *, m_cap, n_cap, w_band, match,
+                      mismatch, gap, interpret=False):
+    """Batch-size-canonicalizing wrapper around align_walk_batch: pads the
+    batch up to the next power of two (min 16) with all-PAD items so the set
+    of compiled XLA programs stays tiny — jit/compile-cache keys include the
+    batch dimension, and a fresh big-tier compile costs tens of seconds.
+    Returns (payload, score) for the PADDED batch; callers slice [:B]."""
+    B = q8.shape[0]
+    bp = 16
+    while bp < B:
+        bp *= 2
+    if bp != B:
+        pad = bp - B
+        q8 = np.pad(q8, ((0, pad), (0, 0)), constant_values=PAD_CODE)
+        t8 = np.pad(t8, ((0, pad), (0, 0)), constant_values=PAD_CODE)
+        dc8 = np.pad(dc8, ((0, pad), (0, 0)), constant_values=gap)
+        m = np.pad(np.asarray(m), (0, pad))
+        n = np.pad(np.asarray(n), (0, pad))
+    return align_walk_batch(q8, t8, dc8, m, n, m_cap=m_cap, n_cap=n_cap,
+                            w_band=w_band, match=match, mismatch=mismatch,
+                            gap=gap, interpret=interpret)
+
+
 # ---------------------------------------------------------------------- #
 # pure-JAX reference implementation of the kernel (identical outputs: same
 # band geometry, same move packing, same score). Used (a) as the oracle in

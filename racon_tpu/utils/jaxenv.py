@@ -10,8 +10,10 @@ tiers keep the program set small and stable across inputs.
 from __future__ import annotations
 
 import os
+import threading
 
 _done = False
+_warm = None
 
 
 def setup_jax() -> None:
@@ -31,3 +33,29 @@ def setup_jax() -> None:
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         except Exception:
             pass
+
+
+def warmup_async() -> None:
+    """Open the device link early: on a tethered/tunneled chip the FIRST
+    host<->device roundtrip of a process can cost tens of seconds (link
+    bring-up + server-side init). Kick it off on a daemon thread so it
+    overlaps with input parsing instead of blocking the first real batch."""
+    global _warm
+    if _warm is not None:
+        return
+
+    def _ping():
+        try:
+            import numpy as np
+            import jax
+            np.asarray(jax.device_put(np.zeros(8, np.uint8)))
+        except Exception:
+            pass
+
+    _warm = threading.Thread(target=_ping, daemon=True)
+    _warm.start()
+
+
+def warmup_wait(timeout: float | None = None) -> None:
+    if _warm is not None:
+        _warm.join(timeout)
