@@ -109,11 +109,12 @@ class OverlapTable:
         drops the earlier record: src/polisher.cpp:294-306).
         """
         n = len(self)
-        keep = self.is_valid.copy()
         bad = (self.error > error_threshold) | (self.q_id == self.t_id)
-        keep &= ~bad
+        keep = self.is_valid & ~bad
         if keep_longest_per_query and n:
-            # runs of equal q_id among records valid after transmute
+            # runs of equal q_id among records valid after transmute; the
+            # sequential scan is the reference's exactly, in which a
+            # not-yet-reached bad record still competes for "longest"
             valid_idx = np.flatnonzero(self.is_valid)
             if len(valid_idx):
                 qv = self.q_id[valid_idx]
@@ -121,19 +122,7 @@ class OverlapTable:
                 run_ends = np.r_[run_starts[1:], len(qv)]
                 for s, e in zip(run_starts, run_ends):
                     run = valid_idx[s:e]
-                    run = run[keep[run]]
-                    if len(run) <= 1:
-                        continue
-                    # reference pairwise scan: i survives only while longer
-                    # than every later j; tie -> later record wins
-                    lens = self.length[run]
-                    best = run[0]
-                    for j in range(1, len(run)):
-                        if lens[j] >= self.length[best]:
-                            keep[best] = False
-                            best = run[j]
-                        else:
-                            keep[run[j]] = False
+                    keep[run] &= _kc_scan(self.length[run], bad[run])
         return keep
 
     def compact(self, keep: np.ndarray) -> None:
@@ -144,6 +133,77 @@ class OverlapTable:
         for key in ("q_id", "q_begin", "q_end", "q_length", "t_id", "t_begin",
                     "t_end", "t_length", "length", "strand", "is_valid", "error"):
             setattr(self, key, getattr(self, key)[idx])
+
+    def split_at(self, cut: int) -> tuple["OverlapTable", "OverlapTable"]:
+        """(rows [0, cut), rows [cut, n)) — for chunk-boundary run carry."""
+        a, b = OverlapTable(), OverlapTable()
+        for t, lo, hi in ((a, 0, cut), (b, cut, len(self))):
+            t.q_names = self.q_names[lo:hi]
+            t.t_names = self.t_names[lo:hi]
+            t.cigars = self.cigars[lo:hi]
+            for key in ("q_id", "q_begin", "q_end", "q_length", "t_id",
+                        "t_begin", "t_end", "t_length", "length", "strand",
+                        "is_valid", "error"):
+                setattr(t, key, getattr(self, key)[lo:hi])
+        return a, b
+
+    @classmethod
+    def concat(cls, tables: list["OverlapTable"]) -> "OverlapTable":
+        t = cls()
+        if not tables:
+            return t
+        t.q_names = [n for tb in tables for n in tb.q_names]
+        t.t_names = [n for tb in tables for n in tb.t_names]
+        t.cigars = [c for tb in tables for c in tb.cigars]
+        for key in ("q_id", "q_begin", "q_end", "q_length", "t_id", "t_begin",
+                    "t_end", "t_length", "length", "strand", "is_valid",
+                    "error"):
+            setattr(t, key,
+                    np.concatenate([getattr(tb, key) for tb in tables]))
+        return t
+
+    def trailing_run_start(self) -> int:
+        """Row index where the last consecutive q_id run (over transmute-valid
+        records) begins — everything from here may continue into the next
+        parse chunk and must be carried forward (the reference defers the
+        open run via its c/l bookkeeping, src/polisher.cpp:315-353)."""
+        vi = np.flatnonzero(self.is_valid)
+        if not len(vi):
+            return len(self)
+        qv = self.q_id[vi]
+        changes = np.flatnonzero(qv != qv[-1])
+        cut_v = int(changes[-1]) + 1 if len(changes) else 0
+        return int(vi[cut_v])
+
+
+def _kc_scan(lengths: np.ndarray, bad: np.ndarray) -> np.ndarray:
+    """The reference's sequential run scan (src/polisher.cpp:284-308): walk
+    records in order; a bad (error/self) record is dropped when reached but
+    competes in earlier records' longest-scans until then; the champion is
+    the record that out-lengths every still-alive later record (strictly —
+    a tie kills the earlier one)."""
+    n = len(lengths)
+    alive = np.ones(n, bool)
+    keep = np.zeros(n, bool)
+    for i in range(n):
+        if not alive[i]:
+            continue
+        if bad[i]:
+            alive[i] = False
+            continue
+        won = True
+        for j in range(i + 1, n):
+            if not alive[j]:
+                continue
+            if lengths[i] > lengths[j]:
+                alive[j] = False
+            else:
+                alive[i] = False
+                won = False
+                break
+        if won:
+            keep[i] = True
+    return keep
 
 
 def _i8():

@@ -170,15 +170,7 @@ def _names_from_blob(blob, off):
     return [raw[off[i] : off[i + 1]] for i in range(len(off) - 1)]
 
 
-def parse_native(path: str, fmt: int) -> OverlapTable:
-    from ..native import bindings
-    try:
-        r = bindings.parse_overlaps(path, fmt)
-    except RuntimeError as e:
-        msg = str(e)
-        if msg.startswith("["):  # reference-exact message (SAM missing cigar)
-            raise RaconError(msg)
-        raise RaconError(f"[racon_tpu::io] error: {msg}")
+def _table_from_raw(r: dict) -> OverlapTable:
     t = OverlapTable()
     t.q_names = _names_from_blob(r["qname_blob"], r["qname_off"])
     t.t_names = _names_from_blob(r["tname_blob"], r["tname_off"])
@@ -192,6 +184,22 @@ def parse_native(path: str, fmt: int) -> OverlapTable:
     return t
 
 
+def _wrap_native_error(e: RuntimeError) -> RaconError:
+    msg = str(e)
+    if msg.startswith("["):  # reference-exact message (SAM missing cigar)
+        return RaconError(msg)
+    return RaconError(f"[racon_tpu::io] error: {msg}")
+
+
+def parse_native(path: str, fmt: int) -> OverlapTable:
+    from ..native import bindings
+    try:
+        r = bindings.parse_overlaps(path, fmt)
+    except RuntimeError as e:
+        raise _wrap_native_error(e)
+    return _table_from_raw(r)
+
+
 class _OverlapParser:
     def __init__(self, path: str):
         self.path = path
@@ -201,6 +209,24 @@ class _OverlapParser:
         if loader.available():
             return parse_native(self.path, self.fmt)
         return self._py_parse(self.path)
+
+    def parse_chunks(self, max_bytes: int):
+        """Chunked streaming parse (reference: bioparser parse(dst, 1 GiB),
+        src/polisher.cpp:26,310-355): yields OverlapTables covering
+        ~max_bytes of decompressed text each, bounding host memory to one
+        chunk plus the records the caller keeps. The pure-python fallback
+        yields the whole file as one chunk (oracle/testing path)."""
+        from ..native import loader
+        if loader.available():
+            from ..native import bindings
+            try:
+                for r in bindings.overlap_stream(self.path, self.fmt,
+                                                 max_bytes):
+                    yield _table_from_raw(r)
+            except RuntimeError as e:
+                raise _wrap_native_error(e)
+        else:
+            yield self._py_parse(self.path)
 
 
 class PafParser(_OverlapParser):

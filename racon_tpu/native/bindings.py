@@ -33,6 +33,13 @@ def _configure(lib: C.CDLL) -> C.CDLL:
                                        _u8p, _i64p] + [_i64p] * 9 + \
         [_u8p, _u8p, _f64p]
     lib.rt_overlaps_free.argtypes = [C.c_void_p]
+    lib.rt_overlap_stream_open.restype = C.c_void_p
+    lib.rt_overlap_stream_open.argtypes = [C.c_char_p, C.c_int32]
+    lib.rt_overlap_stream_next.restype = C.c_void_p
+    lib.rt_overlap_stream_next.argtypes = [
+        C.c_void_p, C.c_int64, C.POINTER(C.c_int64), C.POINTER(C.c_int64),
+        C.POINTER(C.c_int64), C.POINTER(C.c_int64), C.POINTER(C.c_int32)]
+    lib.rt_overlap_stream_free.argtypes = [C.c_void_p]
     lib.rt_edit_distance.restype = C.c_int64
     lib.rt_edit_distance.argtypes = [_u8p, C.c_int64, _u8p, C.c_int64]
     lib.rt_breaking_points_batch.argtypes = [
@@ -118,24 +125,14 @@ def parse_fastx(path: str, is_fastq: bool):
     return names, name_off, data, data_off, quals, qual_off
 
 
-def parse_overlaps(path: str, fmt: int):
-    lib = get_lib()
-    n = C.c_int64()
-    qn = C.c_int64()
-    tn = C.c_int64()
-    cg = C.c_int64()
-    h = lib.rt_parse_overlaps(path.encode(), fmt, C.byref(n), C.byref(qn),
-                              C.byref(tn), C.byref(cg))
-    if not h:
-        raise RuntimeError(lib.rt_last_error().decode())
+def _export_overlaps(lib, h, nv: int, qn: int, tn: int, cg: int) -> dict:
     try:
-        nv = n.value
         out = {
-            "qname_blob": np.empty(qn.value, np.uint8),
+            "qname_blob": np.empty(qn, np.uint8),
             "qname_off": np.empty(nv + 1, np.int64),
-            "tname_blob": np.empty(tn.value, np.uint8),
+            "tname_blob": np.empty(tn, np.uint8),
             "tname_off": np.empty(nv + 1, np.int64),
-            "cigar_blob": np.empty(cg.value, np.uint8),
+            "cigar_blob": np.empty(cg, np.uint8),
             "cigar_off": np.empty(nv + 1, np.int64),
             "q_id": np.empty(nv, np.int64),
             "t_id": np.empty(nv, np.int64),
@@ -159,6 +156,47 @@ def parse_overlaps(path: str, fmt: int):
     finally:
         lib.rt_overlaps_free(h)
     return out
+
+
+def parse_overlaps(path: str, fmt: int):
+    lib = get_lib()
+    n = C.c_int64()
+    qn = C.c_int64()
+    tn = C.c_int64()
+    cg = C.c_int64()
+    h = lib.rt_parse_overlaps(path.encode(), fmt, C.byref(n), C.byref(qn),
+                              C.byref(tn), C.byref(cg))
+    if not h:
+        raise RuntimeError(lib.rt_last_error().decode())
+    return _export_overlaps(lib, h, n.value, qn.value, tn.value, cg.value)
+
+
+def overlap_stream(path: str, fmt: int, max_bytes: int):
+    """Chunked streaming parse: yields parse_overlaps-style dicts covering
+    ~max_bytes of decompressed text each (bioparser parse(dst, max_bytes)
+    role, reference kChunkSize = 1 GiB)."""
+    lib = get_lib()
+    sh = lib.rt_overlap_stream_open(path.encode(), fmt)
+    if not sh:
+        raise RuntimeError(lib.rt_last_error().decode())
+    try:
+        while True:
+            n = C.c_int64()
+            qn = C.c_int64()
+            tn = C.c_int64()
+            cg = C.c_int64()
+            eof = C.c_int32()
+            h = lib.rt_overlap_stream_next(sh, max_bytes, C.byref(n),
+                                           C.byref(qn), C.byref(tn),
+                                           C.byref(cg), C.byref(eof))
+            if not h:
+                raise RuntimeError(lib.rt_last_error().decode())
+            yield _export_overlaps(lib, h, n.value, qn.value, tn.value,
+                                   cg.value)
+            if eof.value:
+                break
+    finally:
+        lib.rt_overlap_stream_free(sh)
 
 
 def breaking_points_batch(qblob, qoff, tblob, toff, strand, q_begin, q_end,

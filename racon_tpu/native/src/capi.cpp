@@ -80,6 +80,42 @@ void rt_fastx_free(void* h) {
 // overlaps
 // ------------------------------------------------------------------ //
 
+// --- chunked streaming (bioparser parse(dst, max_bytes) role) ---
+
+void* rt_overlap_stream_open(const char* path, int32_t fmt) {
+    std::string err;
+    rt::OverlapStream* s = rt::overlap_stream_open(path, fmt, err);
+    if (!s) set_error(err);
+    return s;
+}
+
+// returns an OverlapResult handle for the next chunk (consume with
+// rt_overlaps_export + rt_overlaps_free); nullptr on error. *eof is set
+// when the file is exhausted (the returned chunk may still hold records).
+void* rt_overlap_stream_next(void* sh, int64_t max_bytes, int64_t* n_records,
+                             int64_t* qname_bytes, int64_t* tname_bytes,
+                             int64_t* cigar_bytes, int32_t* eof) {
+    auto* s = static_cast<rt::OverlapStream*>(sh);
+    auto* res = new rt::OverlapResult();
+    std::string err;
+    bool at_eof = false;
+    if (!rt::overlap_stream_next(s, max_bytes, *res, err, &at_eof)) {
+        set_error(err);
+        delete res;
+        return nullptr;
+    }
+    *eof = at_eof ? 1 : 0;
+    *n_records = res->size();
+    *qname_bytes = static_cast<int64_t>(res->qnames.size());
+    *tname_bytes = static_cast<int64_t>(res->tnames.size());
+    *cigar_bytes = static_cast<int64_t>(res->cigars.size());
+    return res;
+}
+
+void rt_overlap_stream_free(void* sh) {
+    rt::overlap_stream_free(static_cast<rt::OverlapStream*>(sh));
+}
+
 void* rt_parse_overlaps(const char* path, int32_t fmt, int64_t* n_records,
                         int64_t* qname_bytes, int64_t* tname_bytes,
                         int64_t* cigar_bytes) {

@@ -5,6 +5,8 @@
 
 #include "overlapio.hpp"
 
+#include <zlib.h>
+
 #include "fastx.hpp"
 
 namespace rt {
@@ -122,15 +124,10 @@ void sam_cigar_accounting(const char* cig, int64_t cig_len, bool strand,
     span_error(q_aln, t_aln, *length, *error);
 }
 
-bool parse_overlaps(const char* path, int fmt, OverlapResult& res,
-                    std::string& err) {
-    std::string raw;
-    if (!read_entire_file(path, raw, err)) return false;
-    const char* p = raw.data();
-    const char* end = p + raw.size();
-    res.qname_off.push_back(0);
-    res.tname_off.push_back(0);
-    res.cigar_off.push_back(0);
+// parse all lines in [p, end) — `end` must sit on a line boundary (or EOF)
+static bool parse_overlap_text(const char* p, const char* end, int fmt,
+                               const char* path, OverlapResult& res,
+                               std::string& err) {
     Tok toks[24];
 
     while (p < end) {
@@ -231,6 +228,92 @@ bool parse_overlaps(const char* path, int fmt, OverlapResult& res,
         p = eol < end ? eol + 1 : end;
     }
     return true;
+}
+
+bool parse_overlaps(const char* path, int fmt, OverlapResult& res,
+                    std::string& err) {
+    std::string raw;
+    if (!read_entire_file(path, raw, err)) return false;
+    res.qname_off.push_back(0);
+    res.tname_off.push_back(0);
+    res.cigar_off.push_back(0);
+    return parse_overlap_text(raw.data(), raw.data() + raw.size(), fmt, path,
+                              res, err);
+}
+
+// ------------------------------------------------------------------ //
+// chunked streaming parse (reference: bioparser's parse(dst, max_bytes)
+// with racon's kChunkSize = 1 GiB, src/polisher.cpp:26,310-355): bounds
+// host memory to one chunk of decompressed text + the surviving records
+// ------------------------------------------------------------------ //
+
+OverlapStream* overlap_stream_open(const char* path, int fmt,
+                                   std::string& err) {
+    gzFile f = gzopen(path, "rb");
+    if (!f) {
+        err = "unable to open file ";
+        err += path;
+        return nullptr;
+    }
+    gzbuffer(f, 1 << 20);
+    auto* s = new OverlapStream();
+    s->f = f;
+    s->fmt = fmt;
+    s->path = path;
+    return s;
+}
+
+// parse ~max_bytes of decompressed text worth of COMPLETE lines into res;
+// sets *eof when the file is fully consumed. Returns false on error.
+bool overlap_stream_next(OverlapStream* s, int64_t max_bytes,
+                         OverlapResult& res, std::string& err, bool* eof) {
+    res.qname_off.push_back(0);
+    res.tname_off.push_back(0);
+    res.cigar_off.push_back(0);
+    *eof = false;
+    std::string& buf = s->carry;
+    if (!s->at_eof) {
+        const size_t want = static_cast<size_t>(max_bytes);
+        std::vector<char> tmp(1 << 22);
+        while (buf.size() < want) {
+            const size_t step =
+                std::min(tmp.size(), want - buf.size());
+            int n = gzread(static_cast<gzFile>(s->f), tmp.data(),
+                           static_cast<unsigned>(step));
+            if (n < 0) {
+                err = std::string("error while reading ") + s->path;
+                return false;
+            }
+            if (n == 0) {
+                s->at_eof = true;
+                break;
+            }
+            buf.append(tmp.data(), n);
+        }
+    }
+    size_t cut = buf.size();
+    if (!s->at_eof) {  // stop at the last complete line
+        const size_t nl = buf.rfind('\n');
+        if (nl == std::string::npos) {
+            err = std::string("line longer than chunk size in ") + s->path;
+            return false;
+        }
+        cut = nl + 1;
+    }
+    if (!parse_overlap_text(buf.data(), buf.data() + cut, s->fmt,
+                            s->path.c_str(), res, err)) {
+        return false;
+    }
+    buf.erase(0, cut);
+    *eof = s->at_eof && buf.empty();
+    return true;
+}
+
+void overlap_stream_free(OverlapStream* s) {
+    if (s) {
+        if (s->f) gzclose(static_cast<gzFile>(s->f));
+        delete s;
+    }
 }
 
 }  // namespace rt

@@ -25,4 +25,19 @@ void sam_cigar_accounting(const char* cig, int64_t cig_len, bool strand,
 bool parse_overlaps(const char* path, int fmt, OverlapResult& res,
                     std::string& err);
 
+// chunked streaming parse (bioparser parse(dst, max_bytes) equivalent)
+struct OverlapStream {
+    void* f = nullptr;  // gzFile
+    int fmt = 0;
+    std::string path;
+    std::string carry;
+    bool at_eof = false;
+};
+
+OverlapStream* overlap_stream_open(const char* path, int fmt,
+                                   std::string& err);
+bool overlap_stream_next(OverlapStream* s, int64_t max_bytes,
+                         OverlapResult& res, std::string& err, bool* eof);
+void overlap_stream_free(OverlapStream* s);
+
 }  // namespace rt

@@ -29,6 +29,11 @@ from .core.windows import (WindowSet, stitch, WINDOW_TYPE_NGS,
 from .models.polish_model import PolisherConfig, PolisherType
 from .utils.logger import Logger
 
+# streaming parse unit (reference: kChunkSize = 1 GiB, src/polisher.cpp:26);
+# overridable for tests via RACON_TPU_CHUNK_BYTES
+import os as _os
+kChunkSize = int(_os.environ.get("RACON_TPU_CHUNK_BYTES", 1 << 30))
+
 
 def create_polisher(sequences_path: str, overlaps_path: str, target_path: str,
                     config: PolisherConfig) -> "Polisher":
@@ -126,12 +131,31 @@ class Polisher:
         log.log("[racon::Polisher::initialize] loaded sequences")
         log.log()
 
-        overlaps = self.oparser.parse()
-        overlaps.transmute(sequences, name_to_id, id_to_id)
-        keep = overlaps.filter_invalid(
-            cfg.error_threshold,
-            keep_longest_per_query=(cfg.type == PolisherType.kC))
-        overlaps.compact(keep)
+        # chunked streaming parse + in-stream filtering (reference:
+        # kChunkSize = 1 GiB, src/polisher.cpp:26,310-355): host memory is
+        # bounded by one chunk of text plus surviving records; the run that
+        # straddles a chunk boundary is carried to the next chunk before
+        # filtering, exactly like the reference's c/l bookkeeping
+        keep_longest = cfg.type == PolisherType.kC
+        kept: list[OverlapTable] = []
+        carry: OverlapTable | None = None
+
+        def _filter_into_kept(table: OverlapTable) -> None:
+            keep = table.filter_invalid(cfg.error_threshold,
+                                        keep_longest_per_query=keep_longest)
+            table.compact(keep)
+            if len(table):
+                kept.append(table)
+
+        for chunk in self.oparser.parse_chunks(kChunkSize):
+            chunk.transmute(sequences, name_to_id, id_to_id)
+            work = OverlapTable.concat([carry, chunk]) if carry else chunk
+            head, carry = work.split_at(work.trailing_run_start())
+            _filter_into_kept(head)
+        if carry is not None:
+            _filter_into_kept(carry)
+        overlaps = OverlapTable.concat(kept) if kept else OverlapTable()
+        del kept
         if len(overlaps) == 0:
             raise RaconError("[racon::Polisher::initialize] error: "
                              "empty overlap set!")
