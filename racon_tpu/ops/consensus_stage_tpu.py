@@ -141,11 +141,21 @@ class TpuConsensusStage:
         max_expand = cap
 
         passes = max(1, cfg.refine_passes)
+        remaining = active
         for ps in range(passes):
+            if not remaining:
+                break
             final = ps == passes - 1
-            self._one_round(windows, cfg, active, st, state, max_expand,
-                            final, tgs, consensus, polished, bindings)
+            retired = self._one_round(windows, cfg, remaining, st, state,
+                                      max_expand, final, tgs, consensus,
+                                      polished, bindings)
             logger.bar("[racon::Polisher::polish] generating consensus")
+            if not final and retired:
+                # converged windows were finalized in-round; later rounds
+                # would reproduce their state bit-for-bit, so drop them
+                remaining = [w for w in remaining if w not in retired]
+                if remaining:
+                    st = _StaticItems(windows, remaining)
         for _ in range(20):
             logger.bar("[racon::Polisher::polish] generating consensus")
         return [c if c is not None else b"" for c in consensus], polished
@@ -266,19 +276,74 @@ class TpuConsensusStage:
                 thr, capacity)
 
         raw = out_blob.tobytes()
+        retired: set[int] = set()
+        conv_z: list[int] = []
         for z, w in enumerate(active):
             o = int(out_off[z])
             ln = int(out_len[z])
             if final:
                 consensus[w] = raw[o : o + ln]
                 polished[w] = bool(out_pol[z])
-            else:
-                state.cur[w] = out_blob[o : o + ln].copy()
-                state.dcost[w] = out_del[o : o + ln].copy()
-                local = out_slots[o : o + ln].astype(np.int64)
-                prev = state.slots[w]
-                state.slots[w] = prev[np.minimum(local, len(prev) - 1)]
-                state.w[w] = np.zeros(ln, np.int32)
+                continue
+            old_cur = state.cur[w]
+            new_cur = out_blob[o : o + ln]
+            new_del = out_del[o : o + ln]
+            local = out_slots[o : o + ln].astype(np.int64)
+            prev = state.slots[w]
+            new_slots = prev[np.minimum(local, len(prev) - 1)]
+            # convergence: the round was a fixed point (same backbone,
+            # deletion costs, slot map, and the round ran with zero backbone
+            # weights — i.e. what every later round would also use). Later
+            # rounds would then reproduce this state bit-for-bit, so the
+            # final consensus is available NOW from this round's ops.
+            if (ln == len(old_cur) and not state.w[w].any()
+                    and np.array_equal(new_cur, old_cur)
+                    and np.array_equal(new_del, state.dcost[w])
+                    and np.array_equal(new_slots, prev)):
+                conv_z.append(z)
+                retired.add(w)
+                continue
+            state.cur[w] = new_cur.copy()
+            state.dcost[w] = new_del.copy()
+            state.slots[w] = new_slots
+            state.w[w] = np.zeros(ln, np.int32)
+
+        if conv_z:
+            # finalize converged windows immediately: one extra merge call
+            # (final semantics: consensus + coverage trimming) reusing this
+            # round's alignments — no device work
+            ksel = np.concatenate([np.arange(st.item_off[z], st.item_off[z + 1])
+                                   for z in conv_z])
+            zarr = np.asarray(conv_z)
+            cur_parts = [state.cur[active[z]] for z in conv_z]
+            cur_blob2, bb_off2 = _concat_off(cur_parts)
+            curw2 = np.zeros(len(cur_blob2), np.int32)
+            item_off2 = np.zeros(len(conv_z) + 1, np.int64)
+            np.cumsum(st.item_off[zarr + 1] - st.item_off[zarr],
+                      out=item_off2[1:])
+            lay_parts = [st.lay_blob[st.lay_off[k] : st.lay_off[k + 1]]
+                         for k in ksel]
+            layw_parts = [st.layw_blob[st.lay_off[k] : st.lay_off[k + 1]]
+                          for k in ksel]
+            lay_blob2, lay_off2 = _concat_off(lay_parts)
+            layw2 = (np.concatenate(layw_parts) if layw_parts
+                     else np.zeros(0, np.int32))
+            ops2, ops_off2b = _concat_off([all_ops[k] for k in ksel])
+            out_blob2, out_off2, out_len2, _, _, out_pol2 = \
+                bindings.poa_round_batch(
+                    cur_blob2, bb_off2, curw2, item_off2, lay_blob2,
+                    lay_off2, layw2, sb[ksel].astype(np.int32),
+                    ops2, ops_off2b, True, tgs, cfg.trim, gap,
+                    cfg.candidate_frac, cfg.candidate_min, max_expand,
+                    st.win_id[zarr], st.win_rank[zarr], thr,
+                    capacity[zarr])
+            raw2 = out_blob2.tobytes()
+            for j, z in enumerate(conv_z):
+                o = int(out_off2[j])
+                ln = int(out_len2[j])
+                consensus[active[z]] = raw2[o : o + ln]
+                polished[active[z]] = bool(out_pol2[j])
+        return retired
 
 
 class _StaticItems:
