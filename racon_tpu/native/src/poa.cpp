@@ -31,44 +31,77 @@ struct Edge {
 };
 
 struct Graph {
+    // Flat storage + linked adjacency with TAIL insertion: list iteration
+    // follows creation order exactly like the previous vector<vector>
+    // layout (heaviest-bundle tie-breaking and rank order depend on it),
+    // but the whole graph is a handful of growable arrays, so a
+    // thread_local instance is reused across windows with zero per-node
+    // heap traffic.
     int32_t backbone_len;
     std::vector<Node> nodes;
     std::vector<Edge> edges;
-    // per-node edge id lists in creation order (tie-breaking in the heaviest
-    // bundle follows in-edge creation order, matching the python oracle)
-    std::vector<std::vector<int32_t>> in_edges;
-    std::vector<std::vector<int32_t>> out_edges;
-    std::vector<std::vector<int32_t>> variants;   // per column: variant nodes
-    // insertion nodes are column-aligned per gap: ins_levels[gap][depth] lists
-    // nodes so identical inserted bases from different layers share one node
-    // and votes concentrate (the role graph alignment plays in sequential POA)
-    std::vector<std::vector<std::vector<int32_t>>> ins_levels;
+    std::vector<int32_t> first_in, last_in, first_out, last_out;  // per node
+    std::vector<int32_t> next_in, next_out;                       // per edge
+    std::vector<int32_t> var_head, var_tail;                      // per column
+    std::vector<int32_t> node_next;  // per node: next in its variant/ins list
+    // insertion nodes are column-aligned per gap: ins_head[gap][depth] heads
+    // a node list so identical inserted bases from different layers share one
+    // node and votes concentrate (the role graph alignment plays in
+    // sequential POA)
+    std::vector<std::vector<int32_t>> ins_head, ins_tail;
+    // heaviest_bundle scratch
+    std::vector<int32_t> rank_scratch, node_rank_scratch, pred_scratch;
+    std::vector<int64_t> scores_scratch;
 
     int32_t new_node(uint8_t base, int32_t col, int32_t slot) {
         nodes.push_back({base, col, slot, 0});
-        in_edges.emplace_back();
-        out_edges.emplace_back();
+        first_in.push_back(-1);
+        last_in.push_back(-1);
+        first_out.push_back(-1);
+        last_out.push_back(-1);
+        node_next.push_back(-1);
         return static_cast<int32_t>(nodes.size()) - 1;
     }
 
     void bump_edge(int32_t u, int32_t v, int64_t w) {
-        for (int32_t e : out_edges[u]) {
+        for (int32_t e = first_out[u]; e >= 0; e = next_out[e]) {
             if (edges[e].head == v) {
                 edges[e].weight += w;
                 return;
             }
         }
-        int32_t e = static_cast<int32_t>(edges.size());
+        const int32_t e = static_cast<int32_t>(edges.size());
         edges.push_back({u, v, w});
-        in_edges[v].push_back(e);
-        out_edges[u].push_back(e);
+        next_in.push_back(-1);
+        next_out.push_back(-1);
+        if (last_out[u] >= 0) next_out[last_out[u]] = e; else first_out[u] = e;
+        last_out[u] = e;
+        if (last_in[v] >= 0) next_in[last_in[v]] = e; else first_in[v] = e;
+        last_in[v] = e;
     }
 
     void init(const uint8_t* backbone, int32_t len, const int32_t* weights) {
         backbone_len = len;
+        nodes.clear();
+        edges.clear();
+        first_in.clear();
+        last_in.clear();
+        first_out.clear();
+        last_out.clear();
+        next_in.clear();
+        next_out.clear();
+        node_next.clear();
+        var_head.assign(len, -1);
+        var_tail.assign(len, -1);
+        if (static_cast<int32_t>(ins_head.size()) < len + 1) {
+            ins_head.resize(len + 1);
+            ins_tail.resize(len + 1);
+        }
+        for (int32_t c = 0; c <= len; ++c) {
+            ins_head[c].clear();
+            ins_tail[c].clear();
+        }
         nodes.reserve(len * 2);
-        variants.assign(len, {});
-        ins_levels.assign(len + 1, {});
         for (int32_t c = 0; c < len; ++c) new_node(backbone[c], c, c);
         for (int32_t c = 0; c < len; ++c) {
             nodes[c].coverage += 1;
@@ -94,7 +127,8 @@ struct Graph {
                         node = t;
                     } else {
                         node = -1;
-                        for (int32_t v : variants[t]) {
+                        for (int32_t v = var_head[t]; v >= 0;
+                             v = node_next[v]) {
                             if (nodes[v].base == b) {
                                 node = v;
                                 break;
@@ -102,7 +136,9 @@ struct Graph {
                         }
                         if (node < 0) {
                             node = new_node(b, t, t);
-                            variants[t].push_back(node);
+                            if (var_tail[t] >= 0) node_next[var_tail[t]] = node;
+                            else var_head[t] = node;
+                            var_tail[t] = node;
                         }
                     }
                     nodes[node].coverage += 1;
@@ -118,12 +154,14 @@ struct Graph {
                 for (int32_t u = 0; u < run; ++u) {
                     const uint8_t b = data[q];
                     const int32_t depth = ins_depth++;
-                    auto& levels = ins_levels[t];
-                    if (static_cast<int32_t>(levels.size()) <= depth) {
-                        levels.resize(depth + 1);
+                    auto& heads = ins_head[t];
+                    auto& tails = ins_tail[t];
+                    if (static_cast<int32_t>(heads.size()) <= depth) {
+                        heads.resize(depth + 1, -1);
+                        tails.resize(depth + 1, -1);
                     }
                     int32_t node = -1;
-                    for (int32_t v : levels[depth]) {
+                    for (int32_t v = heads[depth]; v >= 0; v = node_next[v]) {
                         if (nodes[v].base == b) {
                             node = v;
                             break;
@@ -131,7 +169,9 @@ struct Graph {
                     }
                     if (node < 0) {
                         node = new_node(b, -1, t);
-                        levels[depth].push_back(node);
+                        if (tails[depth] >= 0) node_next[tails[depth]] = node;
+                        else heads[depth] = node;
+                        tails[depth] = node;
                     }
                     nodes[node].coverage += 1;
                     if (prev >= 0) {
@@ -153,33 +193,38 @@ struct Graph {
         rank.clear();
         rank.reserve(nodes.size());
         for (int32_t c = 0; c < backbone_len; ++c) {
-            for (const auto& level : ins_levels[c]) {
-                for (int32_t v : level) rank.push_back(v);
+            for (int32_t h : ins_head[c]) {
+                for (int32_t v = h; v >= 0; v = node_next[v]) rank.push_back(v);
             }
             rank.push_back(c);
-            for (int32_t v : variants[c]) rank.push_back(v);
+            for (int32_t v = var_head[c]; v >= 0; v = node_next[v]) {
+                rank.push_back(v);
+            }
         }
-        for (const auto& level : ins_levels[backbone_len]) {
-            for (int32_t v : level) rank.push_back(v);
+        for (int32_t h : ins_head[backbone_len]) {
+            for (int32_t v = h; v >= 0; v = node_next[v]) rank.push_back(v);
         }
     }
 
     // spoa-semantics heaviest bundle + branch completion
-    void heaviest_bundle(std::vector<int32_t>& path) const {
+    void heaviest_bundle(std::vector<int32_t>& path) {
         const int64_t n = static_cast<int64_t>(nodes.size());
-        std::vector<int32_t> rank;
+        std::vector<int32_t>& rank = rank_scratch;
         rank_order(rank);
-        std::vector<int32_t> node_rank(n);
+        std::vector<int32_t>& node_rank = node_rank_scratch;
+        node_rank.resize(n);
         for (int64_t r = 0; r < n; ++r) {
             node_rank[rank[r]] = static_cast<int32_t>(r);
         }
-        std::vector<int64_t> scores(n, -1);
-        std::vector<int32_t> pred(n, -1);
+        std::vector<int64_t>& scores = scores_scratch;
+        std::vector<int32_t>& pred = pred_scratch;
+        scores.assign(n, -1);
+        pred.assign(n, -1);
 
         int32_t best = -1;
         for (int64_t r = 0; r < n; ++r) {
             const int32_t v = rank[r];
-            for (int32_t e : in_edges[v]) {
+            for (int32_t e = first_in[v]; e >= 0; e = next_in[e]) {
                 const int32_t u = edges[e].tail;
                 const int64_t w = edges[e].weight;
                 if (scores[v] < w ||
@@ -192,12 +237,12 @@ struct Graph {
             if (best < 0 || scores[best] < scores[v]) best = v;
         }
 
-        while (!out_edges[best].empty()) {
+        while (first_out[best] >= 0) {
             // ban side-branch tails of the current tip, then rescore the
             // downstream ranks
-            for (int32_t e : out_edges[best]) {
+            for (int32_t e = first_out[best]; e >= 0; e = next_out[e]) {
                 const int32_t head = edges[e].head;
-                for (int32_t e2 : in_edges[head]) {
+                for (int32_t e2 = first_in[head]; e2 >= 0; e2 = next_in[e2]) {
                     if (edges[e2].tail != best) scores[edges[e2].tail] = -1;
                 }
             }
@@ -207,7 +252,7 @@ struct Graph {
                 const int32_t v = rank[r];
                 scores[v] = -1;
                 pred[v] = -1;
-                for (int32_t e : in_edges[v]) {
+                for (int32_t e = first_in[v]; e >= 0; e = next_in[e]) {
                     const int32_t u = edges[e].tail;
                     if (scores[u] == -1) continue;
                     const int64_t w = edges[e].weight;
@@ -236,7 +281,7 @@ struct Graph {
         int64_t c = nodes[v].coverage;
         const int32_t col = nodes[v].col;
         if (col >= 0) {
-            for (int32_t x : variants[col]) {
+            for (int32_t x = var_head[col]; x >= 0; x = node_next[x]) {
                 if (x != v) c += nodes[x].coverage;
             }
             if (v != col) c += nodes[col].coverage;
@@ -350,7 +395,7 @@ int64_t poa_round(RoundState& state, int64_t n_layers, const LayerView* layers,
                   bool final_round, const RefineParams& rp, bool tgs,
                   bool trim, int32_t gap, uint8_t* out, int64_t out_capacity,
                   bool* polished, int64_t window_id, int32_t rank) {
-    Graph g;
+    thread_local Graph g;  // reused across windows: zero per-node heap churn
     g.init(state.cur.data(), static_cast<int32_t>(state.cur.size()),
            state.cur_w.data());
     for (int64_t i = 0; i < n_layers; ++i) {
@@ -358,7 +403,7 @@ int64_t poa_round(RoundState& state, int64_t n_layers, const LayerView* layers,
         // ops are required here; begin holds the cur-coordinate span start
         g.add_path(L.ops, L.n_ops, L.begin, L.data, L.weights);
     }
-    std::vector<int32_t> path;
+    thread_local std::vector<int32_t> path;
     g.heaviest_bundle(path);
 
     if (final_round) {
@@ -400,9 +445,9 @@ int64_t poa_round(RoundState& state, int64_t n_layers, const LayerView* layers,
     const int32_t n_slots = g.backbone_len + 1;
     std::vector<std::vector<uint8_t>> cand(n_slots);
     for (int32_t s = 0; s < n_slots; ++s) {
-        for (const auto& level : g.ins_levels[s]) {
+        for (int32_t h : g.ins_head[s]) {
             int32_t best = -1;
-            for (int32_t v : level) {
+            for (int32_t v = h; v >= 0; v = g.node_next[v]) {
                 if (on_path[v]) continue;
                 if (g.nodes[v].coverage >= thr &&
                     (best < 0 ||

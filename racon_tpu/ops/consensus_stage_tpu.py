@@ -27,7 +27,15 @@ import numpy as np
 from ..utils.phred import PHRED_OFFSET
 from .nw_kernel import align_walk_padded, encode, walk_steps, PAD_CODE
 
-_DEVICE_CHUNK = 4096  # alignments per device dispatch
+_MOVES_BUDGET = 1 << 30  # HBM bytes for one chunk's packed-move planes
+
+
+def _chunk_size(cap: int, band: int) -> int:
+    """Alignments per device dispatch: as large as the packed-move HBM
+    budget allows (each fetch pays the tethered link's ~30ms latency, so
+    fewer, bigger dispatches win)."""
+    per_item = (cap // 16) * band * 4  # int32 move planes
+    return max(16, min(8192, _MOVES_BUDGET // per_item))
 
 # canonical (cap, band) shape tiers: every device batch is padded to one of
 # these so the XLA program set stays small and the (persistent) compile
@@ -216,8 +224,9 @@ class TpuConsensusStage:
         pending = []
         for ti, (cap, w_band) in enumerate(tiers):
             dev_idx = np.flatnonzero(tier_id == ti)
-            for c0 in range(0, len(dev_idx), _DEVICE_CHUNK):
-                sel = dev_idx[c0 : c0 + _DEVICE_CHUNK]
+            step = _chunk_size(cap, w_band)
+            for c0 in range(0, len(dev_idx), step):
+                sel = dev_idx[c0 : c0 + step]
                 q8 = bindings.pack_rows(st.lay_codes, st.lay_off[sel],
                                         st.lay_off[sel] + mlen[sel], cap,
                                         PAD_CODE, thr)
