@@ -70,6 +70,8 @@ HELP = """usage: racon [options ...] <sequences> <overlaps> <target sequences>
         --candidate-frac <float> / --candidate-min <int>
             default: 0.15 / 2
             support thresholds for insertion candidates between passes
+        --profile <dir>
+            write a JAX/XLA profiler trace to <dir> (view with TensorBoard)
         --version
             prints the version number
         -h, --help
@@ -136,6 +138,8 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--refine-passes", type=int, default=4)
     parser.add_argument("--candidate-frac", type=float, default=0.15)
     parser.add_argument("--candidate-min", type=int, default=2)
+    parser.add_argument("--profile", type=str, default="",
+                        metavar="DIR")  # JAX/XLA trace -> DIR (TensorBoard)
     # drop-in aliases for racon's CUDA options (src/main.cpp:37-40): they
     # request the accelerator path, which here is the TPU backend; batch
     # sizing is automatic, so the counts only act as an on/off switch
@@ -183,6 +187,17 @@ def main(argv: list[str] | None = None) -> int:
 
         threading.Thread(target=_warm, daemon=True).start()
 
+    profiler = None
+    if args.profile:
+        # structured device+host tracing (view with TensorBoard); the
+        # reference's nvprof hook analog (src/cuda/cudapolisher.cpp:10,71)
+        try:
+            import jax.profiler as profiler
+            profiler.start_trace(args.profile)
+        except Exception as e:
+            sys.stderr.write(f"[racon::] warning: profiler unavailable: {e}\n")
+            profiler = None
+
     try:
         polisher = create_polisher(args.inputs[0], args.inputs[1],
                                    args.inputs[2], cfg)
@@ -191,6 +206,12 @@ def main(argv: list[str] | None = None) -> int:
     except RaconError as e:
         sys.stderr.write(e.message + "\n")
         return 1
+    finally:
+        if profiler is not None:
+            try:
+                profiler.stop_trace()
+            except Exception:
+                pass
 
     out = sys.stdout.buffer
     for name, data in polished:

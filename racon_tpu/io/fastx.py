@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import gzip
 
+import numpy as np
+
 from ..errors import RaconError
 from ..core.store import SequenceStoreBuilder
 
@@ -109,22 +111,48 @@ class _FastxParser:
         return self._py_parse(self.path, builder)
 
     def parse_store(self):
-        """Parse into a SequenceStore, via the native runtime when available."""
+        """Parse into a SequenceStore, via the native runtime when available.
+
+        The native path streams the file in chunks (reference: bioparser
+        parse(dst, kChunkSize), src/polisher.cpp:229-264): transient memory
+        is one chunk of decompressed text plus the accumulated records, not
+        2x the whole file. Chunk size: RACON_TPU_CHUNK_BYTES (default 1 GiB).
+        """
+        import os
+
         from ..core.store import SequenceStore
         from ..native import loader
 
         if loader.available():
             from ..native import bindings
+            chunk = int(os.environ.get("RACON_TPU_CHUNK_BYTES", 1 << 30))
+            all_names: list[bytes] = []
+            data_parts, qual_parts = [], []
+            doff_parts = [np.zeros(1, np.int64)]
+            qoff_parts = [np.zeros(1, np.int64)]
+            dshift = qshift = 0
             try:
-                (names, name_off, data, data_off, quals,
-                 qual_off) = bindings.parse_fastx(self.path,
-                                                  self.kind == "fastq")
+                for (names, name_off, data, data_off, quals,
+                     qual_off) in bindings.fastx_stream(
+                         self.path, self.kind == "fastq", chunk):
+                    all_names.extend(_names_from_blob(names, name_off))
+                    data_parts.append(data)
+                    qual_parts.append(quals)
+                    doff_parts.append(data_off[1:] + dshift)
+                    qoff_parts.append(qual_off[1:] + qshift)
+                    dshift += len(data)
+                    qshift += len(quals)
             except RuntimeError as e:
                 from ..errors import RaconError
                 raise RaconError(f"[racon_tpu::io] error: {e}")
             return SequenceStore.from_parts(
-                _names_from_blob(names, name_off), data, data_off, quals,
-                qual_off)
+                all_names,
+                np.concatenate(data_parts) if data_parts else
+                np.zeros(0, np.uint8),
+                np.concatenate(doff_parts),
+                np.concatenate(qual_parts) if qual_parts else
+                np.zeros(0, np.uint8),
+                np.concatenate(qoff_parts))
         builder = SequenceStoreBuilder()
         self._py_parse(self.path, builder)
         return builder.finish()

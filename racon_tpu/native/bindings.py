@@ -23,6 +23,13 @@ def _configure(lib: C.CDLL) -> C.CDLL:
     lib.rt_fastx_export.argtypes = [C.c_void_p, _u8p, _i64p, _u8p, _i64p,
                                     _u8p, _i64p]
     lib.rt_fastx_free.argtypes = [C.c_void_p]
+    lib.rt_fastx_stream_open.restype = C.c_void_p
+    lib.rt_fastx_stream_open.argtypes = [C.c_char_p, C.c_int32]
+    lib.rt_fastx_stream_next.restype = C.c_void_p
+    lib.rt_fastx_stream_next.argtypes = [
+        C.c_void_p, C.c_int64, C.POINTER(C.c_int64), C.POINTER(C.c_int64),
+        C.POINTER(C.c_int64), C.POINTER(C.c_int64), C.POINTER(C.c_int32)]
+    lib.rt_fastx_stream_free.argtypes = [C.c_void_p]
     lib.rt_parse_overlaps.restype = C.c_void_p
     lib.rt_parse_overlaps.argtypes = [C.c_char_p, C.c_int32,
                                       C.POINTER(C.c_int64),
@@ -156,6 +163,43 @@ def _export_overlaps(lib, h, nv: int, qn: int, tn: int, cg: int) -> dict:
     finally:
         lib.rt_overlaps_free(h)
     return out
+
+
+def fastx_stream(path: str, is_fastq: bool, max_bytes: int):
+    """Chunked streaming parse of FASTA/FASTQ: yields parse_fastx-style
+    tuples covering ~max_bytes of decompressed text each."""
+    lib = get_lib()
+    sh = lib.rt_fastx_stream_open(path.encode(), 1 if is_fastq else 0)
+    if not sh:
+        raise RuntimeError(lib.rt_last_error().decode())
+    try:
+        while True:
+            n = C.c_int64()
+            nb = C.c_int64()
+            db = C.c_int64()
+            qb = C.c_int64()
+            eof = C.c_int32()
+            h = lib.rt_fastx_stream_next(sh, max_bytes, C.byref(n),
+                                         C.byref(nb), C.byref(db),
+                                         C.byref(qb), C.byref(eof))
+            if not h:
+                raise RuntimeError(lib.rt_last_error().decode())
+            try:
+                names = np.empty(nb.value, np.uint8)
+                data = np.empty(db.value, np.uint8)
+                quals = np.empty(qb.value, np.uint8)
+                name_off = np.empty(n.value + 1, np.int64)
+                data_off = np.empty(n.value + 1, np.int64)
+                qual_off = np.empty(n.value + 1, np.int64)
+                lib.rt_fastx_export(h, names, name_off, data, data_off,
+                                    quals, qual_off)
+            finally:
+                lib.rt_fastx_free(h)
+            yield names, name_off, data, data_off, quals, qual_off
+            if eof.value:
+                break
+    finally:
+        lib.rt_fastx_stream_free(sh)
 
 
 def parse_overlaps(path: str, fmt: int):

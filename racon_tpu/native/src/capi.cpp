@@ -76,6 +76,39 @@ void rt_fastx_free(void* h) {
     delete static_cast<rt::FastxResult*>(h);
 }
 
+// --- chunked streaming (bioparser parse(dst, max_bytes) role) ---
+
+void* rt_fastx_stream_open(const char* path, int32_t is_fastq) {
+    std::string err;
+    rt::FastxStream* s = rt::fastx_stream_open(path, is_fastq != 0, err);
+    if (!s) set_error(err);
+    return s;
+}
+
+void* rt_fastx_stream_next(void* sh, int64_t max_bytes, int64_t* n_records,
+                           int64_t* name_bytes, int64_t* data_bytes,
+                           int64_t* qual_bytes, int32_t* eof) {
+    auto* s = static_cast<rt::FastxStream*>(sh);
+    auto* res = new rt::FastxResult();
+    std::string err;
+    bool at_eof = false;
+    if (!rt::fastx_stream_next(s, max_bytes, *res, err, &at_eof)) {
+        set_error(err);
+        delete res;
+        return nullptr;
+    }
+    *eof = at_eof ? 1 : 0;
+    *n_records = res->size();
+    *name_bytes = static_cast<int64_t>(res->names.size());
+    *data_bytes = static_cast<int64_t>(res->data.size());
+    *qual_bytes = static_cast<int64_t>(res->quals.size());
+    return res;
+}
+
+void rt_fastx_stream_free(void* sh) {
+    rt::fastx_stream_free(static_cast<rt::FastxStream*>(sh));
+}
+
 // ------------------------------------------------------------------ //
 // overlaps
 // ------------------------------------------------------------------ //

@@ -16,4 +16,19 @@ bool read_entire_file(const char* path, std::string& out, std::string& err);
 bool parse_fastx(const char* path, bool is_fastq, FastxResult& res,
                  std::string& err);
 
+// chunked streaming parse (bioparser parse(dst, max_bytes) equivalent)
+struct FastxStream {
+    void* f = nullptr;  // gzFile
+    bool is_fastq = false;
+    std::string path;
+    std::string carry;
+    bool at_eof = false;
+};
+
+FastxStream* fastx_stream_open(const char* path, bool is_fastq,
+                               std::string& err);
+bool fastx_stream_next(FastxStream* s, int64_t max_bytes, FastxResult& res,
+                       std::string& err, bool* eof);
+void fastx_stream_free(FastxStream* s);
+
 }  // namespace rt

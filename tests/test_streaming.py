@@ -96,6 +96,28 @@ def test_filtering_invariant_to_chunk_size(data_dir):
     np.testing.assert_array_equal(small.length, big.length)
 
 
+@pytest.mark.skipif(not loader.available(), reason="native runtime required")
+@pytest.mark.parametrize("fname,is_fastq", [
+    ("sample_reads.fasta.gz", False),
+    ("sample_reads.fastq.gz", True),
+])
+def test_fastx_stream_invariant_to_chunk_size(data_dir, fname, is_fastq,
+                                              monkeypatch):
+    """SequenceStore built from tiny stream chunks must equal the
+    whole-file parse, including multi-record carries cut mid-record."""
+    from racon_tpu.io.sniff import open_sequence_parser
+
+    path = os.path.join(data_dir, fname)
+    whole = open_sequence_parser(path).parse_store()
+    monkeypatch.setenv("RACON_TPU_CHUNK_BYTES", "4096")
+    small = open_sequence_parser(path).parse_store()
+    assert small.names == whole.names
+    np.testing.assert_array_equal(small.blob, whole.blob)
+    np.testing.assert_array_equal(small.data_off, whole.data_off)
+    np.testing.assert_array_equal(small.qual_blob, whole.qual_blob)
+    np.testing.assert_array_equal(small.qual_off, whole.qual_off)
+
+
 def test_split_and_trailing_run():
     t = OverlapTable()
     t.finalize_from_lists({
