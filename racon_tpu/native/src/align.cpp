@@ -253,7 +253,11 @@ int64_t edit_align(const uint8_t* q, int64_t m, const uint8_t* t, int64_t n,
         return m;
     }
     std::vector<int32_t> cur, prev;
+    // the band must at least absorb the length difference; starting the
+    // doubling there skips the guaranteed-futile small-band passes
     int64_t x = 64;
+    const int64_t drift = m > n ? m - n : n - m;
+    while (x <= drift) x *= 2;
     int64_t d;
     while ((d = banded_distance_fixed(q, m, t, n, x, -1, nullptr, cur, prev)) < 0) {
         x *= 2;

@@ -21,8 +21,11 @@ from .nw_kernel import align_walk_padded, encode, walk_steps, PAD_CODE
 # Few tiers on purpose: every distinct compiled shape costs ~2s of
 # executable load per process on a tethered chip. Wide bands on the long
 # tiers keep ONT-scale indel drift on the device instead of the host
-# fallback (band//2-64 margin per tier).
-_TIERS = ((2560, 512), (10240, 2048), (40960, 2048))
+# fallback (band//2-64 margin per tier); the 4096-band tiers catch
+# high-drift overlaps (error-threshold 0.3 allows |qspan-tspan| up to 30%)
+# that would otherwise serialize on the host aligner.
+_TIERS = ((2560, 512), (10240, 2048), (40960, 2048), (10240, 4096),
+          (40960, 4096))
 _MOVES_BUDGET = 1 << 30  # bytes of HBM for one chunk's packed-move planes
 
 
@@ -124,7 +127,10 @@ class TpuAlignStage:
                     q8, t8, dc8, mlen[sel].astype(np.int32),
                     nlen[sel].astype(np.int32), m_cap=cap, n_cap=cap,
                     w_band=band, match=0, mismatch=-1, gap=-1,
-                    interpret=self.interpret)
+                    interpret=self.interpret,
+                    # one compiled shape per big tier: a fresh big-tier
+                    # compile costs minutes, padding a short chunk does not
+                    fixed_b=step if cap >= 5120 else None)
                 if hasattr(payload, "copy_to_host_async"):
                     payload.copy_to_host_async()  # overlap D2H with compute
                 pending.append((sel, cap, band, payload))

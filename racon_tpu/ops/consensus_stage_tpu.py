@@ -238,7 +238,10 @@ class TpuConsensusStage:
                     q8, t8, dc8, mlen[sel].astype(np.int32),
                     nlen[sel].astype(np.int32), m_cap=cap, n_cap=cap,
                     w_band=w_band, match=cfg.match, mismatch=cfg.mismatch,
-                    gap=gap, interpret=self.interpret)
+                    gap=gap, interpret=self.interpret,
+                    # one compiled shape per big tier (fresh compiles there
+                    # cost minutes; padding a short chunk does not)
+                    fixed_b=step if cap >= 5120 else None)
                 if hasattr(payload, "copy_to_host_async"):
                     payload.copy_to_host_async()  # overlap D2H with compute
                 pending.append((sel, cap, w_band, payload))

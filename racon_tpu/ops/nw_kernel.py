@@ -289,16 +289,21 @@ def align_walk_batch(q8, t8, dc8, m, n, *, m_cap, n_cap, w_band, match,
 
 
 def align_walk_padded(q8, t8, dc8, m, n, *, m_cap, n_cap, w_band, match,
-                      mismatch, gap, interpret=False):
+                      mismatch, gap, interpret=False, fixed_b=None):
     """Batch-size-canonicalizing wrapper around align_walk_batch: pads the
     batch up to the next power of two (min 16) with all-PAD items so the set
     of compiled XLA programs stays tiny — jit/compile-cache keys include the
     batch dimension, and a fresh big-tier compile costs tens of seconds.
-    Returns (payload, score) for the PADDED batch; callers slice [:B]."""
+    With fixed_b, pads straight to that size (callers use the tier's chunk
+    size so a big tier owns exactly ONE compiled shape). Returns
+    (payload, score) for the PADDED batch; callers slice [:B]."""
     B = q8.shape[0]
-    bp = 16
-    while bp < B:
-        bp *= 2
+    if fixed_b is not None:
+        bp = max(fixed_b, B)
+    else:
+        bp = 16
+        while bp < B:
+            bp *= 2
     if bp != B:
         pad = bp - B
         q8 = np.pad(q8, ((0, pad), (0, 0)), constant_values=PAD_CODE)
