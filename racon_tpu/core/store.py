@@ -118,6 +118,7 @@ class SequenceStore:
         if rc is None:
             rc = _RC[self.data(i)][::-1].copy()
             self._rc[i] = rc
+            self._rc_cat = None
         return rc
 
     def reverse_quality(self, i: int) -> np.ndarray:
@@ -125,6 +126,7 @@ class SequenceStore:
         if rq is None:
             rq = self.quality(i)[::-1].copy()
             self._rq[i] = rq
+            self._rq_cat = None
         return rq
 
     def prepare_reverse(self, ids) -> None:
@@ -132,3 +134,43 @@ class SequenceStore:
             self.reverse_complement(int(i))
             if self.has_quality(int(i)):
                 self.reverse_quality(int(i))
+        self._rc_cat = None
+        self._rq_cat = None
+
+    _rc_cat = None
+    _rq_cat = None
+
+    def rc_arrays(self):
+        """(blob, start_by_id) view of all prepared reverse complements —
+        start_by_id[i] is -1 for sequences without a prepared revcomp.
+        Enables vectorized gathers over reverse-strand layers."""
+        if self._rc_cat is None:
+            ids = sorted(self._rc)
+            starts = np.full(len(self.names), -1, np.int64)
+            parts = []
+            off = 0
+            for i in ids:
+                starts[i] = off
+                parts.append(self._rc[i])
+                off += len(self._rc[i])
+            blob = (np.concatenate(parts) if parts
+                    else np.zeros(0, np.uint8))
+            self._rc_cat = (blob, starts)
+        return self._rc_cat
+
+    def rq_arrays(self):
+        """(blob, start_by_id) of prepared reversed qualities (see
+        rc_arrays)."""
+        if self._rq_cat is None:
+            ids = sorted(self._rq)
+            starts = np.full(len(self.names), -1, np.int64)
+            parts = []
+            off = 0
+            for i in ids:
+                starts[i] = off
+                parts.append(self._rq[i])
+                off += len(self._rq[i])
+            blob = (np.concatenate(parts) if parts
+                    else np.zeros(0, np.uint8))
+            self._rq_cat = (blob, starts)
+        return self._rq_cat

@@ -78,6 +78,17 @@ def _concat_off(parts: list[np.ndarray]):
     return blob, off
 
 
+def _flat_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Flat index array covering [starts[i], starts[i]+lens[i]) per i —
+    the vectorized replacement for per-item slice loops."""
+    total = int(lens.sum())
+    if not total:
+        return np.zeros(0, np.int64)
+    ends = np.cumsum(lens)
+    r = np.arange(total) - np.repeat(ends - lens, lens)
+    return np.repeat(np.asarray(starts, np.int64), lens) + r
+
+
 class TpuConsensusStage:
     def __init__(self, cfg, interpret: bool):
         self.cfg = cfg
@@ -215,8 +226,9 @@ class TpuConsensusStage:
                   & (np.abs(nlen - mlen) <= _margin(wb)))
             tier_id[ok] = ti
 
-        all_ops: list[np.ndarray | None] = [None] * n_items
-        host_idx = list(np.flatnonzero(tier_id < 0))
+        cnt = np.zeros(n_items, np.int64)
+        results = []  # (item indices, flat ops, per-item src row off, counts)
+        host_parts = [np.flatnonzero(tier_id < 0)]
 
         # 3. device alignment: one fused align+walk dispatch per chunk; all
         # chunks are dispatched before any result is fetched so H2D, compute
@@ -252,30 +264,38 @@ class TpuConsensusStage:
             ops_flat, ops_off, counts = bindings.opstream_packed_to_ops_batch(
                 codes, walk_steps(cap, cap, w_band), mlen[sel], nlen[sel],
                 thr)
-            for bi, k in enumerate(sel):
-                if escaped[bi]:
-                    host_idx.append(k)  # band escape -> host realign
-                else:
-                    o = int(ops_off[bi])
-                    all_ops[k] = ops_flat[o : o + int(counts[bi])]
+            kept = ~escaped
+            host_parts.append(sel[escaped])  # band escape -> host realign
+            cnt[sel[kept]] = counts[kept]
+            results.append((sel[kept], ops_flat, ops_off[:-1][kept],
+                            counts[kept]))
 
         # 4. host fallback alignment (per-column costs)
-        if host_idx:
-            qparts = [st.lay_blob[st.lay_off[k] : st.lay_off[k] + mlen[k]]
-                      for k in host_idx]
-            tparts = [cur_blob[t_start[k] : t_end[k]] for k in host_idx]
-            dparts = [del32[t_start[k] : t_end[k]] for k in host_idx]
-            qblob, qoff = _concat_off(qparts)
-            tblob, toff = _concat_off(tparts)
+        host_idx = np.concatenate(host_parts)
+        if len(host_idx):
+            hm = mlen[host_idx]
+            hn = nlen[host_idx]
+            qoff = np.zeros(len(host_idx) + 1, np.int64)
+            np.cumsum(hm, out=qoff[1:])
+            toff = np.zeros(len(host_idx) + 1, np.int64)
+            np.cumsum(hn, out=toff[1:])
+            qblob = st.lay_blob[_flat_ranges(st.lay_off[host_idx], hm)]
+            tsel = _flat_ranges(t_start[host_idx], hn)
             ops_flat, ops_off, counts = bindings.align_batch_percol(
-                qblob, qoff, tblob, toff, np.concatenate(dparts), cfg.match,
+                qblob, qoff, cur_blob[tsel], toff, del32[tsel], cfg.match,
                 cfg.mismatch, gap, thr)
-            for z, k in enumerate(host_idx):
-                o = int(ops_off[z])
-                all_ops[k] = ops_flat[o : o + int(counts[z])]
+            cnt[host_idx] = counts
+            results.append((host_idx, ops_flat, ops_off[:-1], counts))
 
-        # 5. merge round per window (native)
-        ops_blob, ops_off2 = _concat_off(all_ops)
+        # 5. merge round per window (native); assemble the per-item op blob
+        # from the chunk results with vectorized gathers (no per-item python)
+        ops_off2 = np.zeros(n_items + 1, np.int64)
+        np.cumsum(cnt, out=ops_off2[1:])
+        ops_blob = np.empty((int(ops_off2[-1]), 2), np.int32)
+        for idxs, flat, soff, scnt in results:
+            if len(idxs):
+                dst = _flat_ranges(ops_off2[idxs], scnt)
+                ops_blob[dst] = flat[_flat_ranges(soff, scnt)]
         capacity = np.array([2 * len(state.cur[w]) + 512 for w in active],
                             np.int64)
         out_blob, out_off, out_len, out_del, out_slots, out_pol = \
@@ -324,23 +344,25 @@ class TpuConsensusStage:
             # finalize converged windows immediately: one extra merge call
             # (final semantics: consensus + coverage trimming) reusing this
             # round's alignments — no device work
-            ksel = np.concatenate([np.arange(st.item_off[z], st.item_off[z + 1])
-                                   for z in conv_z])
             zarr = np.asarray(conv_z)
+            ksel = _flat_ranges(st.item_off[zarr],
+                                st.item_off[zarr + 1] - st.item_off[zarr])
             cur_parts = [state.cur[active[z]] for z in conv_z]
             cur_blob2, bb_off2 = _concat_off(cur_parts)
             curw2 = np.zeros(len(cur_blob2), np.int32)
             item_off2 = np.zeros(len(conv_z) + 1, np.int64)
             np.cumsum(st.item_off[zarr + 1] - st.item_off[zarr],
                       out=item_off2[1:])
-            lay_parts = [st.lay_blob[st.lay_off[k] : st.lay_off[k + 1]]
-                         for k in ksel]
-            layw_parts = [st.layw_blob[st.lay_off[k] : st.lay_off[k + 1]]
-                          for k in ksel]
-            lay_blob2, lay_off2 = _concat_off(lay_parts)
-            layw2 = (np.concatenate(layw_parts) if layw_parts
-                     else np.zeros(0, np.int32))
-            ops2, ops_off2b = _concat_off([all_ops[k] for k in ksel])
+            klen = st.lay_len[ksel]
+            lay_off2 = np.zeros(len(ksel) + 1, np.int64)
+            np.cumsum(klen, out=lay_off2[1:])
+            lsel = _flat_ranges(st.lay_off[ksel], klen)
+            lay_blob2 = st.lay_blob[lsel]
+            layw2 = st.layw_blob[lsel]
+            kcnt = cnt[ksel]
+            ops_off2b = np.zeros(len(ksel) + 1, np.int64)
+            np.cumsum(kcnt, out=ops_off2b[1:])
+            ops2 = ops_blob[_flat_ranges(ops_off2[ksel], kcnt)]
             out_blob2, out_off2, out_len2, _, _, out_pol2 = \
                 bindings.poa_round_batch(
                     cur_blob2, bb_off2, curw2, item_off2, lay_blob2,
@@ -374,21 +396,41 @@ class _StaticItems:
         self.item_wz = np.repeat(np.arange(len(active)), counts)
         self.n_items = int(self.item_off[-1])
 
-        lay_parts = []
-        layw_parts = []
-        for li in self.item_li:
-            li = int(li)
-            d = windows.layer_data(li)
-            q = windows.layer_quality(li)
-            lay_parts.append(d)
-            layw_parts.append(q.astype(np.int32) - PHRED_OFFSET
-                              if q is not None
-                              else np.ones(len(d), np.int32))
-        self.lay_blob, self.lay_off = _concat_off(lay_parts)
-        self.lay_len = np.diff(self.lay_off)
-        self.lay_codes = encode(self.lay_blob).astype(np.int8)
-        self.layw_blob = (np.concatenate(layw_parts) if layw_parts
-                          else np.zeros(0, np.int32))
+        # vectorized layer blob/weights gather (no per-item python): layers
+        # are slices of the store's forward blob or of prepared revcomps
+        li = self.item_li
+        store = windows.sequences
+        qid = windows.lay_qid[li]
+        strand = windows.lay_strand[li]
+        qb = windows.lay_qbegin[li]
+        qlen = windows.lay_qlen[li].astype(np.int64)
+        self.lay_off = np.zeros(self.n_items + 1, np.int64)
+        np.cumsum(qlen, out=self.lay_off[1:])
+        self.lay_len = qlen
+        total = int(self.lay_off[-1])
+        blob = np.empty(total, np.uint8)
+        weights = np.ones(total, np.int32)
+        rc_blob, rc_start = store.rc_arrays()
+        rq_blob, rq_start = store.rq_arrays()
+        hasq = store.qual_off[qid + 1] > store.qual_off[qid]
+        dst0 = self.lay_off[:-1]
+        fwd = ~strand
+        for mask, src, base in (
+                (fwd, store.blob, store.data_off[qid] + qb),
+                (strand, rc_blob, rc_start[qid] + qb)):
+            if mask.any():
+                dst = _flat_ranges(dst0[mask], qlen[mask])
+                blob[dst] = src[_flat_ranges(base[mask], qlen[mask])]
+        for mask, src, base in (
+                (fwd & hasq, store.qual_blob, store.qual_off[qid] + qb),
+                (strand & hasq, rq_blob, rq_start[qid] + qb)):
+            if mask.any():
+                dst = _flat_ranges(dst0[mask], qlen[mask])
+                q8 = src[_flat_ranges(base[mask], qlen[mask])]
+                weights[dst] = q8.astype(np.int32) - PHRED_OFFSET
+        self.lay_blob = blob
+        self.lay_codes = encode(blob).astype(np.int8)
+        self.layw_blob = weights
         self.win_id = np.array([windows.win_target[w] for w in active],
                                np.int64)
         self.win_rank = np.array([windows.win_rank[w] for w in active],
