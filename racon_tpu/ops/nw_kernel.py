@@ -261,6 +261,24 @@ def _round4(x: int) -> int:
     return -(-x // 4) * 4
 
 
+def align_walk_core(q8, t8, dc8, m, n, *, m_cap, n_cap, w_band, match,
+                    mismatch, gap, nw_fn):
+    """Traceable fused body: banded NW (via nw_fn) + packed traceback walk.
+    Shared by the single-device jit wrapper (align_walk_batch) and the
+    shard_map dispatch (parallel/mesh.sharded_align_walk)."""
+    q = q8.astype(jnp.int32)
+    t = t8.astype(jnp.int32)
+    gc = jnp.pad(jnp.cumsum(dc8.astype(jnp.int32), axis=1), ((0, 0), (1, 0)))
+    moves, score = nw_fn(q, t, gc, m_cap=m_cap, n_cap=n_cap, w_band=w_band,
+                         match=match, mismatch=mismatch, gap=gap)
+    codes, escaped = walk_moves_device(
+        moves[: q.shape[0]], m, n, m_cap=m_cap, n_cap=n_cap, w_band=w_band,
+        max_steps=walk_steps(m_cap, n_cap, w_band), packed=True)
+    payload = jnp.concatenate([codes, escaped[:, None].astype(jnp.uint8)],
+                              axis=1)
+    return payload, score
+
+
 @functools.partial(jax.jit, static_argnames=("m_cap", "n_cap", "w_band",
                                              "match", "mismatch", "gap",
                                              "interpret"))
@@ -273,19 +291,10 @@ def align_walk_batch(q8, t8, dc8, m, n, *, m_cap, n_cap, w_band, match,
     stream packed 4 steps/byte and payload[:, -1] the band-escape flag —
     one array so the host drains ONE D2H transfer per dispatch (the
     tethered chip's downlink latency dominates otherwise)."""
-    q = q8.astype(jnp.int32)
-    t = t8.astype(jnp.int32)
-    gc = jnp.pad(jnp.cumsum(dc8.astype(jnp.int32), axis=1), ((0, 0), (1, 0)))
-    moves, score = nw_band_batch(q, t, gc, m_cap=m_cap, n_cap=n_cap,
-                                 w_band=w_band, match=match,
-                                 mismatch=mismatch, gap=gap,
-                                 interpret=interpret)
-    codes, escaped = walk_moves_device(
-        moves[: q.shape[0]], m, n, m_cap=m_cap, n_cap=n_cap, w_band=w_band,
-        max_steps=walk_steps(m_cap, n_cap, w_band), packed=True)
-    payload = jnp.concatenate([codes, escaped[:, None].astype(jnp.uint8)],
-                              axis=1)
-    return payload, score
+    nw_fn = functools.partial(nw_band_batch, interpret=interpret)
+    return align_walk_core(q8, t8, dc8, m, n, m_cap=m_cap, n_cap=n_cap,
+                           w_band=w_band, match=match, mismatch=mismatch,
+                           gap=gap, nw_fn=nw_fn)
 
 
 def align_walk_padded(q8, t8, dc8, m, n, *, m_cap, n_cap, w_band, match,
@@ -295,15 +304,23 @@ def align_walk_padded(q8, t8, dc8, m, n, *, m_cap, n_cap, w_band, match,
     of compiled XLA programs stays tiny — jit/compile-cache keys include the
     batch dimension, and a fresh big-tier compile costs tens of seconds.
     With fixed_b, pads straight to that size (callers use the tier's chunk
-    size so a big tier owns exactly ONE compiled shape). Returns
-    (payload, score) for the PADDED batch; callers slice [:B]."""
+    size so a big tier owns exactly ONE compiled shape). When more than one
+    device is visible, the batch is sharded over the device mesh
+    (parallel/mesh.sharded_align_walk — window/overlap data parallelism).
+    Returns (payload, score) for the PADDED batch; callers slice [:B]."""
+    from ..parallel.mesh import active_mesh, sharded_align_walk
+
     B = q8.shape[0]
+    mesh = active_mesh()
     if fixed_b is not None:
         bp = max(fixed_b, B)
     else:
         bp = 16
         while bp < B:
             bp *= 2
+    if mesh is not None:  # every shard needs an equal, B_TILE-aligned slice
+        unit = mesh.devices.size * B_TILE
+        bp = -(-bp // unit) * unit
     if bp != B:
         pad = bp - B
         q8 = np.pad(q8, ((0, pad), (0, 0)), constant_values=PAD_CODE)
@@ -311,6 +328,11 @@ def align_walk_padded(q8, t8, dc8, m, n, *, m_cap, n_cap, w_band, match,
         dc8 = np.pad(dc8, ((0, pad), (0, 0)), constant_values=gap)
         m = np.pad(np.asarray(m), (0, pad))
         n = np.pad(np.asarray(n), (0, pad))
+    if mesh is not None:
+        return sharded_align_walk(
+            mesh, q8, t8, dc8, np.asarray(m, np.int32),
+            np.asarray(n, np.int32), m_cap=m_cap, n_cap=n_cap, w_band=w_band,
+            match=match, mismatch=mismatch, gap=gap, interpret=interpret)
     return align_walk_batch(q8, t8, dc8, m, n, m_cap=m_cap, n_cap=n_cap,
                             w_band=w_band, match=match, mismatch=mismatch,
                             gap=gap, interpret=interpret)

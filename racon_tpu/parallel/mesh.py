@@ -22,7 +22,8 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from ..ops.nw_kernel import nw_band_batch, nw_band_batch_ref, walk_moves_device
+from ..ops.nw_kernel import (align_walk_core, nw_band_batch,
+                             nw_band_batch_ref, walk_moves_device)
 
 
 def _nw_impl(interpret):
@@ -59,6 +60,59 @@ def sharded_nw_band_batch(mesh: Mesh, q, t, gc, *, m_cap, n_cap, w_band,
                    out_specs=(P("win"), P("win")), check_rep=False)
     assert q.shape[0] % n_dev == 0, "pad batch to a multiple of mesh size"
     return fn(q, t, gc)
+
+
+_active_mesh_cache: list = []
+
+
+def active_mesh() -> Mesh | None:
+    """Mesh over all visible devices when more than one is present (the
+    production stages shard their batches over it); None single-device.
+    RACON_TPU_MESH=0 disables."""
+    import os
+
+    if _active_mesh_cache:
+        return _active_mesh_cache[0]
+    mesh = None
+    if os.environ.get("RACON_TPU_MESH", "1") != "0":
+        try:
+            devices = jax.devices()
+            if len(devices) > 1:
+                mesh = window_mesh(devices)
+        except Exception:
+            mesh = None
+    _active_mesh_cache.append(mesh)
+    return mesh
+
+
+_sharded_cache: dict = {}
+
+
+def sharded_align_walk(mesh: Mesh, q8, t8, dc8, m, n, *, m_cap, n_cap,
+                       w_band, match, mismatch, gap, interpret=False):
+    """The production fused align+walk dispatch with the batch dimension
+    sharded over the mesh — each chip runs the single-chip Pallas kernel on
+    its shard; no cross-chip communication (pure window/overlap data
+    parallelism, the TPU analog of the reference's multi-GPU batch queues,
+    src/cuda/cudapolisher.cpp:165-180). The batch must be a multiple of the
+    mesh size (align_walk_padded arranges this)."""
+    key = (tuple(mesh.devices.flat), m_cap, n_cap, w_band, match, mismatch,
+           gap, interpret)
+    fn = _sharded_cache.get(key)
+    if fn is None:
+        impl = _nw_impl(interpret)
+
+        def local(q8s, t8s, dc8s, ms, ns):
+            return align_walk_core(q8s, t8s, dc8s, ms, ns, m_cap=m_cap,
+                                   n_cap=n_cap, w_band=w_band, match=match,
+                                   mismatch=mismatch, gap=gap, nw_fn=impl)
+
+        fn = jax.jit(shard_map(
+            local, mesh=mesh,
+            in_specs=(P("win"), P("win"), P("win"), P("win"), P("win")),
+            out_specs=(P("win"), P("win")), check_rep=False))
+        _sharded_cache[key] = fn
+    return fn(q8, t8, dc8, m, n)
 
 
 def polish_step_sharded(mesh: Mesh, *, m_cap, n_cap, w_band, match, mismatch,
