@@ -39,10 +39,14 @@ def _chunk_size(cap: int, band: int) -> int:
 
 # canonical (cap, band) shape tiers: every device batch is padded to one of
 # these so the XLA program set stays small and the (persistent) compile
-# cache hot. Items are bucketed to the smallest tier that fits both their
-# length and their length mismatch (band must absorb |n-m| plus drift).
-_TIERS = ((256, 128), (640, 128), (1280, 256), (2560, 384), (5120, 512),
-          (10240, 768))
+# cache hot. Items are bucketed to the FIRST tier that fits both their
+# length and their length mismatch (band must absorb |n-m| plus drift), so
+# each cap offers a narrow band for the common case and a wide variant that
+# keeps high-drift layers off the host fallback (which costs full-matrix NW
+# per item). Only tiers a workload actually uses get compiled/loaded.
+_TIERS = ((256, 128), (640, 128), (1280, 256), (1280, 512), (2560, 384),
+          (2560, 768), (5120, 512), (5120, 1024), (10240, 768),
+          (10240, 2048))
 
 
 def _round_up(x: int, a: int) -> int:
