@@ -95,10 +95,11 @@ HELP = """usage: racon [options ...] <sequences> <overlaps> <target sequences>
 
 
 def build_config(args) -> PolisherConfig:
+    # racon's CUDA flags request the accelerator; "auto" already prefers a
+    # real accelerator and falls back to the native host path when none is
+    # present (forcing "tpu" would route a CPU-only box through the
+    # interpreted kernel oracle)
     backend = args.backend
-    if backend == "auto" and (args.cudapoa_batches > 0
-                              or args.cudaaligner_batches > 0):
-        backend = "tpu"  # reference CUDA flags request the accelerator
     band = args.band_width or args.cudaaligner_band_width
     return PolisherConfig(
         type=PolisherType.kF if args.fragment_correction else PolisherType.kC,

@@ -140,37 +140,28 @@ class SequenceStore:
     _rc_cat = None
     _rq_cat = None
 
+    def _cat_arrays(self, by_id: dict):
+        """(blob, start_by_id) concatenated view of a per-id array dict;
+        start_by_id[i] is -1 for ids without an entry."""
+        starts = np.full(len(self.names), -1, np.int64)
+        parts = []
+        off = 0
+        for i in sorted(by_id):
+            starts[i] = off
+            parts.append(by_id[i])
+            off += len(by_id[i])
+        blob = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+        return blob, starts
+
     def rc_arrays(self):
         """(blob, start_by_id) view of all prepared reverse complements —
-        start_by_id[i] is -1 for sequences without a prepared revcomp.
-        Enables vectorized gathers over reverse-strand layers."""
+        enables vectorized gathers over reverse-strand layers."""
         if self._rc_cat is None:
-            ids = sorted(self._rc)
-            starts = np.full(len(self.names), -1, np.int64)
-            parts = []
-            off = 0
-            for i in ids:
-                starts[i] = off
-                parts.append(self._rc[i])
-                off += len(self._rc[i])
-            blob = (np.concatenate(parts) if parts
-                    else np.zeros(0, np.uint8))
-            self._rc_cat = (blob, starts)
+            self._rc_cat = self._cat_arrays(self._rc)
         return self._rc_cat
 
     def rq_arrays(self):
-        """(blob, start_by_id) of prepared reversed qualities (see
-        rc_arrays)."""
+        """(blob, start_by_id) of prepared reversed qualities."""
         if self._rq_cat is None:
-            ids = sorted(self._rq)
-            starts = np.full(len(self.names), -1, np.int64)
-            parts = []
-            off = 0
-            for i in ids:
-                starts[i] = off
-                parts.append(self._rq[i])
-                off += len(self._rq[i])
-            blob = (np.concatenate(parts) if parts
-                    else np.zeros(0, np.uint8))
-            self._rq_cat = (blob, starts)
+            self._rq_cat = self._cat_arrays(self._rq)
         return self._rq_cat

@@ -131,13 +131,16 @@ static bool parse_fastq_text(const char* p, const char* end, bool eof,
             }
             p = l_eol < end ? l_eol + 1 : end;
         }
+        if (!eof && p == end) {
+            // any record touching the chunk end may continue in the next
+            // chunk (e.g. the cut fell right after the header, so dlen==0
+            // "completes" vacuously): roll back and carry unconditionally
+            res.names.resize(names_sz);
+            res.data.resize(data_sz);
+            *consumed = rec_start;
+            return true;
+        }
         if (q.size() != dlen) {
-            if (!eof && p == end) {  // cut off mid-record: carry it
-                res.names.resize(names_sz);
-                res.data.resize(data_sz);
-                *consumed = rec_start;
-                return true;
-            }
             err = std::string("malformed FASTQ file ") + path;
             return false;
         }

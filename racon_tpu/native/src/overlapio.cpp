@@ -272,12 +272,11 @@ bool overlap_stream_next(OverlapStream* s, int64_t max_bytes,
     res.cigar_off.push_back(0);
     *eof = false;
     std::string& buf = s->carry;
-    if (!s->at_eof) {
-        const size_t want = static_cast<size_t>(max_bytes);
-        std::vector<char> tmp(1 << 22);
-        while (buf.size() < want) {
-            const size_t step =
-                std::min(tmp.size(), want - buf.size());
+    size_t want = static_cast<size_t>(max_bytes);
+    std::vector<char> tmp(1 << 22);
+    while (true) {
+        while (!s->at_eof && buf.size() < want) {
+            const size_t step = std::min(tmp.size(), want - buf.size());
             int n = gzread(static_cast<gzFile>(s->f), tmp.data(),
                            static_cast<unsigned>(step));
             if (n < 0) {
@@ -290,23 +289,23 @@ bool overlap_stream_next(OverlapStream* s, int64_t max_bytes,
             }
             buf.append(tmp.data(), n);
         }
-    }
-    size_t cut = buf.size();
-    if (!s->at_eof) {  // stop at the last complete line
-        const size_t nl = buf.rfind('\n');
-        if (nl == std::string::npos) {
-            err = std::string("line longer than chunk size in ") + s->path;
+        size_t cut = buf.size();
+        if (!s->at_eof) {  // stop at the last complete line
+            const size_t nl = buf.rfind('\n');
+            if (nl == std::string::npos) {
+                want *= 2;  // one line exceeds the chunk budget: grow
+                continue;
+            }
+            cut = nl + 1;
+        }
+        if (!parse_overlap_text(buf.data(), buf.data() + cut, s->fmt,
+                                s->path.c_str(), res, err)) {
             return false;
         }
-        cut = nl + 1;
+        buf.erase(0, cut);
+        *eof = s->at_eof && buf.empty();
+        return true;
     }
-    if (!parse_overlap_text(buf.data(), buf.data() + cut, s->fmt,
-                            s->path.c_str(), res, err)) {
-        return false;
-    }
-    buf.erase(0, cut);
-    *eof = s->at_eof && buf.empty();
-    return true;
 }
 
 void overlap_stream_free(OverlapStream* s) {

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .consensus_stage_tpu import _concat_off
+from .consensus_stage_tpu import _concat_off, chunk_size
 from .nw_kernel import align_walk_padded, encode, walk_steps, PAD_CODE
 
 # canonical (cap, band) tiers; items beyond the last tier go to the host.
@@ -26,12 +26,10 @@ from .nw_kernel import align_walk_padded, encode, walk_steps, PAD_CODE
 # that would otherwise serialize on the host aligner.
 _TIERS = ((2560, 512), (10240, 2048), (40960, 2048), (10240, 4096),
           (40960, 4096))
-_MOVES_BUDGET = 1 << 30  # bytes of HBM for one chunk's packed-move planes
-
-
 def _chunk_size(cap: int, band: int) -> int:
-    per_item = (cap // 16) * band * 4  # int32 move planes
-    return max(16, min(1024, _MOVES_BUDGET // per_item))
+    # overlap slices are long: cap chunks at 1024 items (HBM budget shared
+    # with consensus_stage_tpu.chunk_size)
+    return chunk_size(cap, band, 1024)
 
 
 class TpuAlignStage:

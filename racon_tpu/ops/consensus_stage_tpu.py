@@ -30,12 +30,17 @@ from .nw_kernel import align_walk_padded, encode, walk_steps, PAD_CODE
 _MOVES_BUDGET = 1 << 30  # HBM bytes for one chunk's packed-move planes
 
 
-def _chunk_size(cap: int, band: int) -> int:
+def chunk_size(cap: int, band: int, max_items: int) -> int:
     """Alignments per device dispatch: as large as the packed-move HBM
-    budget allows (each fetch pays the tethered link's ~30ms latency, so
-    fewer, bigger dispatches win)."""
+    budget allows, clamped to max_items (each fetch pays the tethered
+    link's ~30ms latency, so fewer, bigger dispatches win). Shared by both
+    pipeline stages."""
     per_item = (cap // 16) * band * 4  # int32 move planes
-    return max(16, min(8192, _MOVES_BUDGET // per_item))
+    return max(16, min(max_items, _MOVES_BUDGET // per_item))
+
+
+def _chunk_size(cap: int, band: int) -> int:
+    return chunk_size(cap, band, 8192)
 
 # canonical (cap, band) shape tiers: every device batch is padded to one of
 # these so the XLA program set stays small and the (persistent) compile
@@ -55,22 +60,6 @@ def _round_up(x: int, a: int) -> int:
 
 def _margin(w_band: int) -> int:
     return w_band // 2 - 32
-
-
-def _pack_rows(parts: list[np.ndarray], cap: int, fill: int,
-               dtype=np.int8) -> np.ndarray:
-    """Pad variable-length rows into a (B, cap) matrix without a Python
-    per-element loop (numpy fallback; the hot path uses the native packer)."""
-    B = len(parts)
-    out = np.full((B, cap), fill, dtype)
-    lens = np.fromiter((len(p) for p in parts), np.int64, B)
-    total = int(lens.sum())
-    rows = np.repeat(np.arange(B), lens)
-    starts = np.zeros(B, np.int64)
-    np.cumsum(lens[:-1], out=starts[1:])
-    cols = np.arange(total) - np.repeat(starts, lens)
-    out[rows, cols] = np.concatenate(parts) if parts else []
-    return out
 
 
 def _concat_off(parts: list[np.ndarray]):
@@ -176,9 +165,11 @@ class TpuConsensusStage:
             if not final and retired:
                 # converged windows were finalized in-round; later rounds
                 # would reproduce their state bit-for-bit, so drop them
-                remaining = [w for w in remaining if w not in retired]
+                keep_z = np.array([z for z, w in enumerate(remaining)
+                                   if w not in retired], np.int64)
+                remaining = [remaining[z] for z in keep_z]
                 if remaining:
-                    st = _StaticItems(windows, remaining)
+                    st = st.subset(keep_z)
         for _ in range(20):
             logger.bar("[racon::Polisher::polish] generating consensus")
         return [c if c is not None else b"" for c in consensus], polished
@@ -439,6 +430,30 @@ class _StaticItems:
                                np.int64)
         self.win_rank = np.array([windows.win_rank[w] for w in active],
                                  np.int32)
+
+    def subset(self, keep_z: np.ndarray) -> "_StaticItems":
+        """Blobs for a subset of windows (indices into the current active
+        list): slices the existing flat arrays — no re-gather, no
+        re-encode."""
+        s = object.__new__(_StaticItems)
+        counts = self.item_off[keep_z + 1] - self.item_off[keep_z]
+        ksel = _flat_ranges(self.item_off[keep_z], counts)
+        s.item_li = self.item_li[ksel]
+        s.item_off = np.zeros(len(keep_z) + 1, np.int64)
+        np.cumsum(counts, out=s.item_off[1:])
+        s.item_wz = np.repeat(np.arange(len(keep_z)), counts)
+        s.n_items = int(s.item_off[-1])
+        klen = self.lay_len[ksel]
+        s.lay_off = np.zeros(s.n_items + 1, np.int64)
+        np.cumsum(klen, out=s.lay_off[1:])
+        s.lay_len = klen
+        lsel = _flat_ranges(self.lay_off[ksel], klen)
+        s.lay_blob = self.lay_blob[lsel]
+        s.lay_codes = self.lay_codes[lsel]
+        s.layw_blob = self.layw_blob[lsel]
+        s.win_id = self.win_id[keep_z]
+        s.win_rank = self.win_rank[keep_z]
+        return s
 
 
 class _RoundState:

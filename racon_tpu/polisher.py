@@ -29,10 +29,14 @@ from .core.windows import (WindowSet, stitch, WINDOW_TYPE_NGS,
 from .models.polish_model import PolisherConfig, PolisherType
 from .utils.logger import Logger
 
-# streaming parse unit (reference: kChunkSize = 1 GiB, src/polisher.cpp:26);
-# overridable for tests via RACON_TPU_CHUNK_BYTES
-import os as _os
-kChunkSize = int(_os.environ.get("RACON_TPU_CHUNK_BYTES", 1 << 30))
+kChunkSize = 1 << 30  # streaming parse unit (reference: src/polisher.cpp:26)
+
+
+def _chunk_bytes() -> int:
+    """Per-call so RACON_TPU_CHUNK_BYTES works whenever it is set (the
+    fastx path reads it the same way)."""
+    import os
+    return int(os.environ.get("RACON_TPU_CHUNK_BYTES", kChunkSize))
 
 
 def create_polisher(sequences_path: str, overlaps_path: str, target_path: str,
@@ -147,7 +151,7 @@ class Polisher:
             if len(table):
                 kept.append(table)
 
-        for chunk in self.oparser.parse_chunks(kChunkSize):
+        for chunk in self.oparser.parse_chunks(_chunk_bytes()):
             chunk.transmute(sequences, name_to_id, id_to_id)
             work = OverlapTable.concat([carry, chunk]) if carry else chunk
             head, carry = work.split_at(work.trailing_run_start())

@@ -118,6 +118,29 @@ def test_fastx_stream_invariant_to_chunk_size(data_dir, fname, is_fastq,
     np.testing.assert_array_equal(small.qual_off, whole.qual_off)
 
 
+@pytest.mark.skipif(not loader.available(), reason="native runtime required")
+def test_fastq_stream_every_cut_position(tmp_path):
+    """Regression: a chunk boundary right after a FASTQ header used to
+    commit a bogus empty record and fail the next chunk as malformed.
+    Sweep every cut position over a small file."""
+    from racon_tpu.native import bindings
+
+    path = str(tmp_path / "two.fastq")
+    body = (b"@read1 extra\nACGTAC\nGT\n+\n!!!!!!!!\n"
+            b"@read2\nTTTT\n+\nHHHH\n")
+    with open(path, "wb") as f:
+        f.write(body)
+    for cut in range(1, len(body) + 2):
+        names, name_off, data, data_off, quals, qual_off = [], None, [], None, [], None
+        recs = []
+        for r in bindings.fastx_stream(path, True, cut):
+            nb, no = r[0].tobytes(), r[1]
+            db, do = r[2].tobytes(), r[3]
+            for i in range(len(no) - 1):
+                recs.append((nb[no[i]:no[i+1]], db[do[i]:do[i+1]]))
+        assert recs == [(b"read1", b"ACGTACGT"), (b"read2", b"TTTT")], cut
+
+
 def test_split_and_trailing_run():
     t = OverlapTable()
     t.finalize_from_lists({
