@@ -139,3 +139,44 @@ def test_fragment_correction_mode(tmp_path):
         assert b"r LN:i:" in name  # kF adds the "r" tag
         assert edit_distance(data, true.tobytes()) <= \
             edit_distance(orig, true.tobytes())
+
+
+def test_ngs_mode_short_reads_no_trimming(tmp_path):
+    """Illumina-like input: average read length <= 1000 selects the kNGS
+    window type (reference: src/polisher.cpp:276-277) and consensus ends
+    are NOT coverage-trimmed (trimming is a kTGS-only rule,
+    src/window.cpp:118-139)."""
+    from racon_tpu.core.windows import WINDOW_TYPE_NGS
+
+    rng = np.random.default_rng(3)
+    true = rng.choice(list(b"ACGT"), 700).astype(np.uint8)
+    draft = true.copy()
+    for pos in rng.choice(700, 8, replace=False):
+        draft[pos] = rng.choice(list(b"ACGT"))
+    reads, paf = [], []
+    # short (<=300bp) reads covering only the middle: with TGS trimming the
+    # low-coverage window ends would be cut; NGS must keep full length
+    for r in range(10):
+        s = 150 + int(rng.integers(0, 100))
+        e = min(s + 300, 640)
+        read = true[s:e].copy()
+        for pos in rng.choice(len(read), 3, replace=False):
+            read[pos] = rng.choice(list(b"ACGT"))
+        reads.append((f"sr{r}".encode(), read.tobytes()))
+        paf.append(b"\t".join([f"sr{r}".encode(), b"%d" % len(read), b"0",
+                               b"%d" % len(read), b"+", b"ctg", b"700",
+                               b"%d" % s, b"%d" % e, b"50", b"50", b"60"]))
+    (tmp_path / "r.fasta").write_bytes(
+        b"".join(b">" + n + b"\n" + d + b"\n" for n, d in reads))
+    (tmp_path / "o.paf").write_bytes(b"\n".join(paf) + b"\n")
+    (tmp_path / "d.fasta").write_bytes(b">ctg\n" + draft.tobytes() + b"\n")
+
+    cfg = PolisherConfig(backend="python", num_threads=1, window_length=700)
+    p = create_polisher(str(tmp_path / "r.fasta"), str(tmp_path / "o.paf"),
+                        str(tmp_path / "d.fasta"), cfg)
+    p.initialize()
+    assert p.windows.window_type == WINDOW_TYPE_NGS
+    out = p.polish(drop_unpolished_sequences=False)
+    assert len(out) == 1
+    # untrimmed: the uncovered window ends survive in the output
+    assert len(out[0][1]) >= 650
