@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Genome-scale end-to-end benchmark: synthetic ONT-like polishing run.
+
+Generates a genome (default 4.6 Mb, E. coli scale), a draft with ~1%
+errors, ONT-like reads (default 8 kb, 12% error, 20x coverage) with PAF
+overlaps from the known sampling positions, then runs the full CLI pipeline
+(parse -> overlap alignment -> windowing -> consensus -> stitch) and reports
+wall-clock per stage plus consensus identity vs the true genome.
+
+Usage: python benchmarks/genome_scale.py [--genome-mb 4.6] [--coverage 20]
+       [--backend auto] [--threads N]
+"""
+
+import argparse
+import contextlib
+import io
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+ACGT = np.frombuffer(b"ACGT", np.uint8)
+
+
+def make_dataset(workdir, genome_bp, read_len, coverage, err, seed=11):
+    rng = np.random.default_rng(seed)
+    true = rng.choice(ACGT, genome_bp)
+
+    # draft: ~0.7% subs + 0.3% dels
+    draft = true.copy()
+    subs = rng.choice(genome_bp, int(genome_bp * 0.007), replace=False)
+    draft[subs] = rng.choice(ACGT, len(subs))
+    keep = np.delete(np.arange(genome_bp),
+                     rng.choice(genome_bp, int(genome_bp * 0.003),
+                                replace=False))
+    draft = draft[keep]  # keep[i] = true coord of draft position i
+    dlen = len(draft)
+
+    n_reads = int(genome_bp * coverage / read_len)
+    starts = rng.integers(0, dlen - read_len, n_reads)
+    reads_f = open(os.path.join(workdir, "reads.fasta"), "wb")
+    paf_f = open(os.path.join(workdir, "ovl.paf"), "wb")
+    third = err / 3
+    for r in range(n_reads):
+        s = int(starts[r])
+        e = s + read_len
+        src = true[keep[s] : keep[e - 1] + 1]
+        # ONT-ish: uniform subs/ins/dels totalling `err`
+        u = rng.random(len(src))
+        ins_mask = u < third
+        del_mask = (u >= third) & (u < 2 * third)
+        sub_mask = (u >= 2 * third) & (u < err)
+        out = src.copy()
+        out[sub_mask] = rng.choice(ACGT, int(sub_mask.sum()))
+        parts = []
+        last = 0
+        ins_pos = np.flatnonzero(ins_mask)
+        for p in ins_pos:
+            parts.append(out[last : p + 1])
+            parts.append(rng.choice(ACGT, 1))
+            last = p + 1
+        parts.append(out[last:])
+        read = np.concatenate(parts)
+        # apply deletions on a mask projected through insertions is fiddly;
+        # approximate by deleting from the assembled read
+        dmask = np.ones(len(read), bool)
+        dmask[rng.choice(len(read), int(del_mask.sum()), replace=False)] = False
+        read = read[dmask]
+        name = b"r%d" % r
+        reads_f.write(b">" + name + b"\n" + read.tobytes() + b"\n")
+        paf_f.write(b"\t".join([
+            name, b"%d" % len(read), b"0", b"%d" % len(read), b"+",
+            b"ctg", b"%d" % dlen, b"%d" % s, b"%d" % e, b"1", b"1",
+            b"60"]) + b"\n")
+    reads_f.close()
+    paf_f.close()
+    with open(os.path.join(workdir, "draft.fasta"), "wb") as f:
+        f.write(b">ctg\n" + draft.tobytes() + b"\n")
+    return true
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--genome-mb", type=float, default=4.6)
+    ap.add_argument("--coverage", type=int, default=20)
+    ap.add_argument("--read-len", type=int, default=8000)
+    ap.add_argument("--error", type=float, default=0.12)
+    ap.add_argument("--backend", default="auto")
+    ap.add_argument("--threads", type=int, default=os.cpu_count() or 4)
+    ap.add_argument("--workdir", default="/tmp/racon_tpu_genome_scale")
+    a = ap.parse_args()
+
+    os.makedirs(a.workdir, exist_ok=True)
+    genome_bp = int(a.genome_mb * 1e6)
+    t0 = time.time()
+    true = make_dataset(a.workdir, genome_bp, a.read_len, a.coverage, a.error)
+    print(f"dataset: {genome_bp/1e6:.1f} Mb genome, {a.coverage}x "
+          f"{a.read_len} bp reads, gen {time.time()-t0:.0f}s", flush=True)
+
+    from racon_tpu.models.polish_model import PolisherConfig
+    from racon_tpu.polisher import create_polisher
+
+    cfg = PolisherConfig(backend=a.backend, num_threads=a.threads,
+                         match=5, mismatch=-4, gap=-8)
+    p = create_polisher(os.path.join(a.workdir, "reads.fasta"),
+                        os.path.join(a.workdir, "ovl.paf"),
+                        os.path.join(a.workdir, "draft.fasta"), cfg)
+    t0 = time.time()
+    with contextlib.redirect_stderr(io.StringIO()):
+        p.initialize()
+    t1 = time.time()
+    with contextlib.redirect_stderr(io.StringIO()):
+        out = p.polish(drop_unpolished_sequences=True)
+    t2 = time.time()
+    polished = out[0][1]
+    n_win = p.windows.num_windows
+    print(f"initialize (parse+align+window): {t1-t0:.1f}s", flush=True)
+    print(f"polish ({n_win} windows): {t2-t1:.1f}s "
+          f"({n_win/(t2-t1):.0f} windows/s)", flush=True)
+
+    # identity on a 200kb slice (full-genome edit distance is slow on host)
+    from racon_tpu.native import bindings
+    k = min(200_000, len(polished))
+    d = bindings.edit_distance(polished[:k], true[:k + 2000].tobytes())
+    print(f"edit distance, first {k/1000:.0f}kb vs truth(+2kb slack): {d} "
+          f"(~{100*(1-d/k):.2f}% identity)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

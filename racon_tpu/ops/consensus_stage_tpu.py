@@ -73,13 +73,18 @@ def _concat_off(parts: list[np.ndarray]):
 
 def _flat_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """Flat index array covering [starts[i], starts[i]+lens[i]) per i —
-    the vectorized replacement for per-item slice loops."""
+    the vectorized replacement for per-item slice loops. Uses int32 when
+    the source fits (half the index-array memory traffic)."""
     total = int(lens.sum())
     if not total:
         return np.zeros(0, np.int64)
+    starts = np.asarray(starts)
+    hi = int(starts.max()) + int(lens.max())
+    dt = np.int32 if hi < 2**31 and total < 2**31 else np.int64
     ends = np.cumsum(lens)
-    r = np.arange(total) - np.repeat(ends - lens, lens)
-    return np.repeat(np.asarray(starts, np.int64), lens) + r
+    # fold both per-item offsets into ONE repeat: base = starts - range_start
+    base = starts.astype(dt) - (ends - lens).astype(dt)
+    return np.repeat(base, lens) + np.arange(total, dtype=dt)
 
 
 class TpuConsensusStage:
@@ -402,27 +407,27 @@ class _StaticItems:
         self.lay_off = np.zeros(self.n_items + 1, np.int64)
         np.cumsum(qlen, out=self.lay_off[1:])
         self.lay_len = qlen
-        total = int(self.lay_off[-1])
-        blob = np.empty(total, np.uint8)
-        weights = np.ones(total, np.int32)
         rc_blob, rc_start = store.rc_arrays()
         rq_blob, rq_start = store.rq_arrays()
         hasq = store.qual_off[qid + 1] > store.qual_off[qid]
-        dst0 = self.lay_off[:-1]
-        fwd = ~strand
-        for mask, src, base in (
-                (fwd, store.blob, store.data_off[qid] + qb),
-                (strand, rc_blob, rc_start[qid] + qb)):
-            if mask.any():
-                dst = _flat_ranges(dst0[mask], qlen[mask])
-                blob[dst] = src[_flat_ranges(base[mask], qlen[mask])]
-        for mask, src, base in (
-                (fwd & hasq, store.qual_blob, store.qual_off[qid] + qb),
-                (strand & hasq, rq_blob, rq_start[qid] + qb)):
-            if mask.any():
-                dst = _flat_ranges(dst0[mask], qlen[mask])
-                q8 = src[_flat_ranges(base[mask], qlen[mask])]
-                weights[dst] = q8.astype(np.int32) - PHRED_OFFSET
+        # items are gathered IN ORDER, so one combined-source gather covers
+        # everything with a single flat index array and no destination
+        # indices: forward layers read the store blob, reverse layers read
+        # the (appended) revcomp blob
+        base = np.where(strand, len(store.blob) + rc_start[qid],
+                        store.data_off[qid]) + qb
+        src = np.concatenate([store.blob, rc_blob])
+        blob = src[_flat_ranges(base, qlen)]
+        # weights: gather quality the same way (garbage for no-quality
+        # layers, fixed up by the repeated mask), phred-shift, default 1
+        qbase = np.where(strand, len(store.qual_blob) + rq_start[qid],
+                         store.qual_off[qid]) + qb
+        qbase = np.where(hasq, qbase, 0)
+        qsrc = np.concatenate([store.qual_blob, rq_blob,
+                               np.zeros(1, np.uint8)])
+        q8 = qsrc[np.minimum(_flat_ranges(qbase, qlen), len(qsrc) - 1)]
+        weights = np.where(np.repeat(hasq, qlen),
+                           q8.astype(np.int32) - PHRED_OFFSET, 1)
         self.lay_blob = blob
         self.lay_codes = encode(blob).astype(np.int8)
         self.layw_blob = weights
