@@ -42,8 +42,12 @@ def build(verbose: bool = False) -> bool:
         return False
     if not _needs_build(sources):
         return True
+    # extra flags, e.g. RACON_TPU_NATIVE_CXXFLAGS="-fsanitize=address -g"
+    # for sanitizer builds (the reference's `make debug` ASan role;
+    # run python under LD_PRELOAD=libasan.so for ctypes loading)
+    extra = os.environ.get("RACON_TPU_NATIVE_CXXFLAGS", "").split()
     cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-           "-pthread", "-o", _LIB + ".tmp", *sources, "-lz"]
+           "-pthread", *extra, "-o", _LIB + ".tmp", *sources, "-lz"]
     try:
         res = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
     except (OSError, subprocess.TimeoutExpired) as e:

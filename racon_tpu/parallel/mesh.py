@@ -35,6 +35,20 @@ def _nw_impl(interpret):
     return functools.partial(nw_band_batch, interpret=False)
 
 
+def distributed_init(**kwargs) -> None:
+    """Multi-host entry: initialize jax.distributed (DCN) before building
+    the mesh, so window_mesh() spans every host's chips. Each host feeds
+    its own input shard; host 0 gathers consensus bytes for stitching.
+    No-op when already initialized (reference has no distributed mode —
+    SURVEY.md sec 2.3/5.8 defines this mapping)."""
+    import jax
+
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError:
+        pass  # already initialized
+
+
 def window_mesh(devices=None) -> Mesh:
     """1-D mesh over all (or the given) devices; axis "win" shards batches."""
     devices = np.asarray(devices if devices is not None else jax.devices())

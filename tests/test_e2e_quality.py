@@ -66,3 +66,32 @@ def test_polish_single_pass_mode(data_dir):
     p.initialize()
     out = p.polish(drop_unpolished_sequences=True)
     assert len(out) == 1
+
+
+@pytest.mark.skipif(not os.environ.get("RACON_TPU_SLOW_TESTS"),
+                    reason="full contig-mode golden matrix (runs the "
+                           "overlap-alignment stage); RACON_TPU_SLOW_TESTS=1")
+@pytest.mark.parametrize("reads,ovl,m,x,g,w,ref_golden", [
+    ("sample_reads.fastq.gz", "sample_overlaps.paf.gz", 5, -4, -8, 500, 1312),
+    ("sample_reads.fasta.gz", "sample_overlaps.paf.gz", 5, -4, -8, 500, 1566),
+    ("sample_reads.fasta.gz", "sample_overlaps.sam.gz", 5, -4, -8, 500, 1770),
+    ("sample_reads.fastq.gz", "sample_overlaps.paf.gz", 1, -1, -1, 500, 1321),
+    ("sample_reads.fastq.gz", "sample_overlaps.paf.gz", 5, -4, -8, 1000, 1289),
+])
+def test_full_golden_matrix_beats_reference(data_dir, reads, ovl, m, x, g, w,
+                                            ref_golden):
+    """All remaining reference golden configs (test/racon_test.cpp:88-218):
+    our consensus must beat the reference's own pinned edit distance."""
+    from racon_tpu.native import bindings
+    cfg = PolisherConfig(backend="auto", num_threads=os.cpu_count() or 4,
+                         match=m, mismatch=x, gap=g, window_length=w)
+    p = create_polisher(os.path.join(data_dir, reads),
+                        os.path.join(data_dir, ovl),
+                        os.path.join(data_dir, "sample_layout.fasta.gz"), cfg)
+    p.initialize()
+    out = p.polish(drop_unpolished_sequences=True)
+    assert len(out) == 1
+    ref = _fa(os.path.join(data_dir, "sample_reference.fasta.gz"))
+    dist = bindings.edit_distance(out[0][1][::-1].translate(RC), ref)
+    assert dist < ref_golden, (
+        f"worse than reference racon golden {ref_golden}: {dist}")
