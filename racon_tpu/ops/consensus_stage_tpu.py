@@ -175,6 +175,7 @@ class TpuConsensusStage:
                 remaining = [remaining[z] for z in keep_z]
                 if remaining:
                     st = st.subset(keep_z)
+                    state.subset(keep_z)
         for _ in range(20):
             logger.bar("[racon::Polisher::polish] generating consensus")
         return [c if c is not None else b"" for c in consensus], polished
@@ -187,31 +188,32 @@ class TpuConsensusStage:
         thr = cfg.num_threads
         n_items = st.n_items
 
-        # 1. per-round backbone blobs + span projection (vectorized)
-        cur_blob, bb_off = _concat_off([state.cur[w] for w in active])
+        # 1. per-round backbone blobs (already flat in the state) + span
+        # projection via ONE global searchsorted: per-window slot arrays are
+        # ascending and bounded by the original window length, so keying
+        # them as window_index*OFFSET + slot makes the concatenation sorted
+        cur_blob = state.cur
+        bb_off = state.off
+        lens = np.diff(bb_off)
         cur_enc = encode(cur_blob).astype(np.int8)
-        del32 = (np.concatenate([state.dcost[w] for w in active])
-                 if active else np.zeros(0, np.int32))
+        del32 = state.dcost
         del8 = del32.astype(np.int8)
-        curw_blob = (np.concatenate([state.w[w] for w in active])
-                     if active else np.zeros(0, np.int32))
+        curw_blob = state.w
 
-        sb = np.empty(n_items, np.int64)
-        se = np.empty(n_items, np.int64)
-        for z, w in enumerate(active):
-            i0, i1 = st.item_off[z], st.item_off[z + 1]
-            slots = state.slots[w]
-            n = len(slots)
-            lb = windows.lay_begin[st.item_li[i0:i1]]
-            le = windows.lay_end[st.item_li[i0:i1]]
-            s0 = np.searchsorted(slots, lb, side="left")
-            s1 = np.searchsorted(slots, le, side="right") - 1
-            s0 = np.clip(s0, 0, n - 1)
-            s1 = np.maximum(s0, np.minimum(s1, n - 1))
-            off = 0.01 * n
-            full = (s0 < off) & (s1 > n - off)
-            sb[i0:i1] = np.where(full, 0, s0)
-            se[i0:i1] = np.where(full, n - 1, s1)
+        OFFK = int(windows.window_length) * 2 + 2
+        keys = state.slots + OFFK * np.repeat(
+            np.arange(len(active), dtype=np.int64), lens)
+        lb = windows.lay_begin[st.item_li] + OFFK * st.item_wz
+        le = windows.lay_end[st.item_li] + OFFK * st.item_wz
+        s0 = np.searchsorted(keys, lb, side="left") - bb_off[st.item_wz]
+        s1 = (np.searchsorted(keys, le, side="right") - 1
+              - bb_off[st.item_wz])
+        n_of = lens[st.item_wz]
+        s0 = np.clip(s0, 0, n_of - 1)
+        s1 = np.maximum(s0, np.minimum(s1, n_of - 1))
+        full = (s0 < 0.01 * n_of) & (s1 > n_of - 0.01 * n_of)
+        sb = np.where(full, 0, s0)
+        se = np.where(full, n_of - 1, s1)
         nlen = se - sb + 1
         mlen = st.lay_len
         t_start = bb_off[st.item_wz] + sb
@@ -296,8 +298,7 @@ class TpuConsensusStage:
             if len(idxs):
                 dst = _flat_ranges(ops_off2[idxs], scnt)
                 ops_blob[dst] = flat[_flat_ranges(soff, scnt)]
-        capacity = np.array([2 * len(state.cur[w]) + 512 for w in active],
-                            np.int64)
+        capacity = 2 * lens + 512
         out_blob, out_off, out_len, out_del, out_slots, out_pol = \
             bindings.poa_round_batch(
                 cur_blob, bb_off, curw_blob, st.item_off,
@@ -307,38 +308,56 @@ class TpuConsensusStage:
                 cfg.candidate_min, max_expand, st.win_id, st.win_rank,
                 thr, capacity)
 
-        raw = out_blob.tobytes()
+        n_act = len(active)
         retired: set[int] = set()
-        conv_z: list[int] = []
-        for z, w in enumerate(active):
-            o = int(out_off[z])
-            ln = int(out_len[z])
-            if final:
-                consensus[w] = raw[o : o + ln]
+        if final:
+            raw = out_blob.tobytes()
+            for z, w in enumerate(active):
+                o = int(out_off[z])
+                consensus[w] = raw[o : o + int(out_len[z])]
                 polished[w] = bool(out_pol[z])
-                continue
-            old_cur = state.cur[w]
-            new_cur = out_blob[o : o + ln]
-            new_del = out_del[o : o + ln]
-            local = out_slots[o : o + ln].astype(np.int64)
-            prev = state.slots[w]
-            new_slots = prev[np.minimum(local, len(prev) - 1)]
-            # convergence: the round was a fixed point (same backbone,
-            # deletion costs, slot map, and the round ran with zero backbone
-            # weights — i.e. what every later round would also use). Later
-            # rounds would then reproduce this state bit-for-bit, so the
-            # final consensus is available NOW from this round's ops.
-            if (ln == len(old_cur) and not state.w[w].any()
-                    and np.array_equal(new_cur, old_cur)
-                    and np.array_equal(new_del, state.dcost[w])
-                    and np.array_equal(new_slots, prev)):
-                conv_z.append(z)
-                retired.add(w)
-                continue
-            state.cur[w] = new_cur.copy()
-            state.dcost[w] = new_del.copy()
-            state.slots[w] = new_slots
-            state.w[w] = np.zeros(ln, np.int32)
+            return retired
+
+        # vectorized state replacement: gather the merge outputs into fresh
+        # flat blobs, compose slots through to original coordinates
+        new_len = out_len.astype(np.int64)
+        gsel = _flat_ranges(out_off[:n_act], new_len)
+        new_cur = out_blob[gsel]
+        new_del = out_del[gsel]
+        local = out_slots[gsel].astype(np.int64)
+        wz_e = np.repeat(np.arange(n_act, dtype=np.int64), new_len)
+        new_slots = state.slots[bb_off[wz_e]
+                                + np.minimum(local, lens[wz_e] - 1)]
+        new_off = np.zeros(n_act + 1, np.int64)
+        np.cumsum(new_len, out=new_off[1:])
+
+        # convergence (vectorized): the round was a fixed point (same
+        # backbone, deletion costs, slot map, and it ran with zero backbone
+        # weights — what every later round would also use). Later rounds
+        # would reproduce the state bit-for-bit, so the final consensus is
+        # available NOW from this round's ops.
+        cand = (new_len == lens) & ~state.has_w
+        conv_z: list[int] = []
+        cz = np.flatnonzero(cand)
+        if len(cz):
+            clens = new_len[cz]
+            old_sel = _flat_ranges(bb_off[cz], clens)
+            new_sel = _flat_ranges(new_off[cz], clens)
+            eq = ((state.cur[old_sel] == new_cur[new_sel])
+                  & (state.dcost[old_sel] == new_del[new_sel])
+                  & (state.slots[old_sel] == new_slots[new_sel]))
+            seg = np.zeros(len(cz), np.int64)
+            np.cumsum(clens[:-1], out=seg[1:])
+            allmask = np.logical_and.reduceat(eq, seg)
+            conv_z = [int(z) for z in cz[allmask]]
+            retired = {active[z] for z in conv_z}
+
+        state.cur = new_cur
+        state.dcost = new_del
+        state.slots = new_slots
+        state.off = new_off
+        state.w = np.zeros(len(new_cur), np.int32)
+        state.has_w = np.zeros(n_act, bool)
 
         if conv_z:
             # finalize converged windows immediately: one extra merge call
@@ -347,8 +366,11 @@ class TpuConsensusStage:
             zarr = np.asarray(conv_z)
             ksel = _flat_ranges(st.item_off[zarr],
                                 st.item_off[zarr + 1] - st.item_off[zarr])
-            cur_parts = [state.cur[active[z]] for z in conv_z]
-            cur_blob2, bb_off2 = _concat_off(cur_parts)
+            # converged: old state == new state, so slice the new blobs
+            czlen = new_len[zarr]
+            cur_blob2 = new_cur[_flat_ranges(new_off[zarr], czlen)]
+            bb_off2 = np.zeros(len(zarr) + 1, np.int64)
+            np.cumsum(czlen, out=bb_off2[1:])
             curw2 = np.zeros(len(cur_blob2), np.int32)
             item_off2 = np.zeros(len(conv_z) + 1, np.int64)
             np.cumsum(st.item_off[zarr + 1] - st.item_off[zarr],
@@ -462,21 +484,36 @@ class _StaticItems:
 
 
 class _RoundState:
-    """Per-window refinement state: current backbone bytes, per-column
-    weights and deletion costs, and slot->original-position mapping."""
+    """Per-window refinement state in flat-blob form, aligned with the
+    active window list: current backbone bytes, per-column weights and
+    deletion costs, and the slot->original-position map share `off`."""
 
     def __init__(self, windows, active, gap):
-        self.cur = {}
-        self.w = {}
-        self.dcost = {}
-        self.slots = {}
-        self.max_backbone = 0
-        for w in active:
-            bb = np.asarray(windows.backbone(w))
-            bq = windows.backbone_quality(w)
-            self.cur[w] = bb
-            self.w[w] = (bq.astype(np.int32) - PHRED_OFFSET if bq is not None
-                         else np.zeros(len(bb), np.int32))
-            self.dcost[w] = np.full(len(bb), gap, np.int32)
-            self.slots[w] = np.arange(len(bb), dtype=np.int64)
-            self.max_backbone = max(self.max_backbone, len(bb))
+        self.cur, self.off = _concat_off(
+            [np.asarray(windows.backbone(w)) for w in active])
+        total = len(self.cur)
+        lens = np.diff(self.off)
+        self.w = np.zeros(total, np.int32)
+        for z, wid in enumerate(active):  # backbone quality, round 1 only
+            bq = windows.backbone_quality(wid)
+            if bq is not None:
+                self.w[self.off[z] : self.off[z + 1]] = (
+                    bq.astype(np.int32) - PHRED_OFFSET)
+        self.dcost = np.full(total, gap, np.int32)
+        self.slots = (np.arange(total, dtype=np.int64)
+                      - np.repeat(self.off[:-1], lens))
+        self.has_w = (np.add.reduceat(np.abs(self.w), self.off[:-1]) > 0
+                      if total else np.zeros(0, bool))
+        self.max_backbone = int(lens.max(initial=0))
+
+    def subset(self, keep_z: np.ndarray) -> None:
+        """Drop retired windows in place (indices into the active list)."""
+        lens = np.diff(self.off)[keep_z]
+        sel = _flat_ranges(self.off[keep_z], lens)
+        self.cur = self.cur[sel]
+        self.w = self.w[sel]
+        self.dcost = self.dcost[sel]
+        self.slots = self.slots[sel]
+        self.off = np.zeros(len(keep_z) + 1, np.int64)
+        np.cumsum(lens, out=self.off[1:])
+        self.has_w = self.has_w[keep_z]
