@@ -39,7 +39,10 @@ class PolisherConfig:
     candidate_min: int = 2
     # device batching caps (cudapoa-inspired shape budget,
     # reference: src/cuda/cudabatch.cpp:56-59, src/cuda/cudapolisher.cpp:226)
-    max_layer_len: int = 1024
+    # accelerator-path depth cap per window (reference GPU path:
+    # MAX_DEPTH_PER_WINDOW=200, src/cuda/cudapolisher.cpp:226); the native
+    # CPU path uses all layers, like the reference's CPU path. Length caps
+    # are handled by the stage tier ladders.
     max_window_depth: int = 200
     band_width: int = 0  # 0 = auto (10% of mean overlap length, even-ified,
     #                      reference: src/cuda/cudapolisher.cpp:150-174)

@@ -94,8 +94,14 @@ class TpuAlignStage:
         mlen = np.diff(qoff_all)
         nlen = np.diff(toff_all)
 
-        # bucket by the canonical tiers; |n - m| must fit well within band
+        # bucket by the canonical tiers; |n - m| must fit well within band.
+        # --band-width N sets a minimum device band (reference:
+        # --cudaaligner-band-width, src/cuda/cudapolisher.cpp:150-174; 0 =
+        # automatic — the tier ladder already adapts per item)
         tiers = _TIERS if not self.interpret else ((256, 128),)
+        if self.cfg.band_width > 0:
+            tiers = (tuple(t for t in tiers if t[1] >= self.cfg.band_width)
+                     or (tiers[-1],))
         tier_id = np.full(len(indices), -1, np.int64)
         for ti, (cap, band) in enumerate(tiers):
             ok = ((tier_id < 0) & (mlen <= cap) & (nlen <= cap)

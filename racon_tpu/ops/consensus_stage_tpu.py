@@ -136,8 +136,14 @@ class TpuConsensusStage:
 
         # ---- static per-item structure (fixed across refinement rounds):
         # items are all (window, layer) pairs grouped by window in `active`
-        # order, which is exactly the layout rt_poa_round_batch consumes
-        st = _StaticItems(windows, active)
+        # order, which is exactly the layout rt_poa_round_batch consumes.
+        # The accelerator path caps layers per window like the reference's
+        # GPU path (MAX_DEPTH_PER_WINDOW=200, src/cuda/cudapolisher.cpp:226;
+        # layers are begin-sorted, extra ones are dropped like cudapoa's
+        # batch-full rejection); the native/CPU path uses all layers, like
+        # the reference's CPU path.
+        st = _StaticItems(windows, active,
+                          depth_cap=max(1, cfg.max_window_depth))
 
         # refinement state per active window
         gap = cfg.gap
@@ -406,8 +412,9 @@ class _StaticItems:
     """Round-invariant item layout: flat blobs + offsets for every
     (window, layer) pair, grouped by window in `active` order."""
 
-    def __init__(self, windows, active):
-        item_li_parts = [np.asarray(windows.layer_indices(w), np.int64)
+    def __init__(self, windows, active, depth_cap=None):
+        item_li_parts = [np.asarray(windows.layer_indices(w)[:depth_cap],
+                                    np.int64)
                          for w in active]
         self.item_li = (np.concatenate(item_li_parts) if item_li_parts
                         else np.zeros(0, np.int64))

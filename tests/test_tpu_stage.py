@@ -83,3 +83,37 @@ def test_tpu_stage_polish_quality(tmp_path):
     full = b"".join(cons)
     d = bindings.edit_distance(full, true.tobytes())
     assert d <= 8
+
+
+def test_accelerator_depth_cap_and_band_knobs():
+    """--max-window-depth caps layers per window on the accelerator path
+    (reference GPU MAX_DEPTH_PER_WINDOW, src/cuda/cudapolisher.cpp:226);
+    --band-width sets a minimum device band for overlap alignment."""
+    import numpy as np
+    from racon_tpu.core.store import SequenceStore
+    from racon_tpu.core.windows import WindowSet, WINDOW_TYPE_TGS
+    from racon_tpu.ops.consensus_stage_tpu import _StaticItems
+    import racon_tpu.ops.align_stage_tpu as astm
+    from racon_tpu.models.polish_model import PolisherConfig
+
+    # tiny store: one 100bp target + 8 reads of 100bp
+    parts = [np.full(100, 65, np.uint8)] * 9
+    off = np.arange(10, dtype=np.int64) * 100
+    store = SequenceStore([b"t"] + [b"r%d" % i for i in range(8)],
+                          np.concatenate(parts), off,
+                          np.zeros(0, np.uint8), np.zeros(10, np.int64))
+    ws = WindowSet(store, 1, 100, WINDOW_TYPE_TGS)
+    bp = np.array([[0, 0, 99, 99]], np.int64)  # (t_first, q_first, t_last, q_last)
+    for r in range(8):
+        ws.assign_overlap(bp, r + 1, 0, False, 10.0)
+    ws.freeze()
+    st_all = _StaticItems(ws, [0])
+    st_cap = _StaticItems(ws, [0], depth_cap=3)
+    assert st_all.n_items == 8 and st_cap.n_items == 3
+
+    # band knob: only tiers with band >= requested survive
+    cfg = PolisherConfig(band_width=2048)
+    stage = astm.TpuAlignStage(cfg, interpret=True)
+    tiers = astm._TIERS
+    filtered = tuple(t for t in tiers if t[1] >= cfg.band_width)
+    assert filtered and all(b >= 2048 for _, b in filtered)
