@@ -261,14 +261,13 @@ def _round4(x: int) -> int:
     return -(-x // 4) * 4
 
 
-def align_walk_core(q8, t8, dc8, m, n, *, m_cap, n_cap, w_band, match,
+def align_walk_core(q8, t8, dc, m, n, *, m_cap, n_cap, w_band, match,
                     mismatch, gap, nw_fn):
     """Traceable fused body: banded NW (via nw_fn) + packed traceback walk.
-    Shared by the single-device jit wrapper (align_walk_batch) and the
-    shard_map dispatch (parallel/mesh.sharded_align_walk)."""
+    dc is per-column deletion costs in any integer dtype."""
     q = q8.astype(jnp.int32)
     t = t8.astype(jnp.int32)
-    gc = jnp.pad(jnp.cumsum(dc8.astype(jnp.int32), axis=1), ((0, 0), (1, 0)))
+    gc = jnp.pad(jnp.cumsum(dc.astype(jnp.int32), axis=1), ((0, 0), (1, 0)))
     moves, score = nw_fn(q, t, gc, m_cap=m_cap, n_cap=n_cap, w_band=w_band,
                          match=match, mismatch=mismatch, gap=gap)
     codes, escaped = walk_moves_device(
@@ -279,29 +278,68 @@ def align_walk_core(q8, t8, dc8, m, n, *, m_cap, n_cap, w_band, match,
     return payload, score
 
 
-@functools.partial(jax.jit, static_argnames=("m_cap", "n_cap", "w_band",
-                                             "match", "mismatch", "gap",
-                                             "interpret"))
-def align_walk_batch(q8, t8, dc8, m, n, *, m_cap, n_cap, w_band, match,
-                     mismatch, gap, interpret=False):
-    """q8/t8 (B, CAP) int8 codes, dc8 (B, CAP) int8 per-column deletion
-    costs, m/n (B,) int32 real lengths. One device dispatch: banded NW +
-    on-device traceback walk. Returns (payload (B, walk_steps(...)//4 + 1)
-    uint8, score (B, 1) int32) where payload[:, :-1] is the backward op
-    stream packed 4 steps/byte and payload[:, -1] the band-escape flag —
-    one array so the host drains ONE D2H transfer per dispatch (the
-    tethered chip's downlink latency dominates otherwise)."""
-    nw_fn = functools.partial(nw_band_batch, interpret=interpret)
-    return align_walk_core(q8, t8, dc8, m, n, m_cap=m_cap, n_cap=n_cap,
+# ---- packed uplink: base codes ship 2-per-byte (values 0..5 fit a
+# nibble) and the binary {0, gap} per-column deletion costs ship as a
+# bitmask — the tethered chip's H2D link is as precious as its D2H ----
+
+
+def pack_codes4(x8: np.ndarray) -> np.ndarray:
+    """(B, CAP) int8 codes -> (B, CAP//2) uint8, two codes per byte."""
+    x = x8.view(np.uint8)
+    return (x[:, 0::2] | (x[:, 1::2] << 4)).astype(np.uint8)
+
+
+def pack_delbits(dc8: np.ndarray) -> np.ndarray:
+    """(B, CAP) deletion costs in {0, gap} -> (B, CAP//8) uint8 bitmask."""
+    return np.packbits(np.asarray(dc8) != 0, axis=1, bitorder="little")
+
+
+def unpack_codes4(q4, cap: int):
+    lo = (q4 & 0xF).astype(jnp.int8)
+    hi = (q4 >> 4).astype(jnp.int8)
+    return jnp.stack([lo, hi], axis=-1).reshape(q4.shape[0], cap)
+
+
+def unpack_delbits(dcb, cap: int, gap: int):
+    bits = (dcb[:, :, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+    return bits.reshape(dcb.shape[0], cap).astype(jnp.int32) * gap
+
+
+def align_walk_packed_core(q4, t4, dcb, m, n, *, m_cap, n_cap, w_band, match,
+                           mismatch, gap, nw_fn):
+    q8 = unpack_codes4(q4, m_cap)
+    t8 = unpack_codes4(t4, n_cap)
+    dc = unpack_delbits(dcb, n_cap, gap)
+    return align_walk_core(q8, t8, dc, m, n, m_cap=m_cap, n_cap=n_cap,
                            w_band=w_band, match=match, mismatch=mismatch,
                            gap=gap, nw_fn=nw_fn)
 
 
+@functools.partial(jax.jit, static_argnames=("m_cap", "n_cap", "w_band",
+                                             "match", "mismatch", "gap",
+                                             "interpret"))
+def align_walk_batch(q4, t4, dcb, m, n, *, m_cap, n_cap, w_band, match,
+                     mismatch, gap, interpret=False):
+    """q4/t4 (B, CAP//2) uint8 nibble-packed codes (pack_codes4), dcb
+    (B, CAP//8) uint8 deletion-cost bitmask (pack_delbits; bit set = cost
+    `gap`), m/n (B,) int32 real lengths. One device dispatch: unpack +
+    banded NW + on-device traceback walk. Returns (payload
+    (B, walk_steps(...)//4 + 1) uint8, score (B, 1) int32) where
+    payload[:, :-1] is the backward op stream packed 4 steps/byte and
+    payload[:, -1] the band-escape flag — one uplink-light H2D and ONE
+    D2H transfer per dispatch."""
+    nw_fn = functools.partial(nw_band_batch, interpret=interpret)
+    return align_walk_packed_core(q4, t4, dcb, m, n, m_cap=m_cap,
+                                  n_cap=n_cap, w_band=w_band, match=match,
+                                  mismatch=mismatch, gap=gap, nw_fn=nw_fn)
+
+
 def align_walk_padded(q8, t8, dc8, m, n, *, m_cap, n_cap, w_band, match,
                       mismatch, gap, interpret=False, fixed_b=None):
-    """Batch-size-canonicalizing wrapper around align_walk_batch: pads the
-    batch up to the next power of two (min 16) with all-PAD items so the set
-    of compiled XLA programs stays tiny — jit/compile-cache keys include the
+    """Batch-size-canonicalizing wrapper around align_walk_batch: packs the
+    uplink (nibble codes + deletion-cost bitmask) and pads the batch up to
+    the next power of two (min 16) with all-PAD items so the set of
+    compiled XLA programs stays tiny — jit/compile-cache keys include the
     batch dimension, and a fresh big-tier compile costs tens of seconds.
     With fixed_b, pads straight to that size (callers use the tier's chunk
     size so a big tier owns exactly ONE compiled shape). When more than one
@@ -321,19 +359,22 @@ def align_walk_padded(q8, t8, dc8, m, n, *, m_cap, n_cap, w_band, match,
     if mesh is not None:  # every shard needs an equal, B_TILE-aligned slice
         unit = mesh.devices.size * B_TILE
         bp = -(-bp // unit) * unit
+    q4 = pack_codes4(q8)
+    t4 = pack_codes4(t8)
+    dcb = pack_delbits(dc8)
     if bp != B:
         pad = bp - B
-        q8 = np.pad(q8, ((0, pad), (0, 0)), constant_values=PAD_CODE)
-        t8 = np.pad(t8, ((0, pad), (0, 0)), constant_values=PAD_CODE)
-        dc8 = np.pad(dc8, ((0, pad), (0, 0)), constant_values=gap)
+        q4 = np.pad(q4, ((0, pad), (0, 0)), constant_values=0x55)  # PAD|PAD
+        t4 = np.pad(t4, ((0, pad), (0, 0)), constant_values=0x55)
+        dcb = np.pad(dcb, ((0, pad), (0, 0)), constant_values=0xFF)
         m = np.pad(np.asarray(m), (0, pad))
         n = np.pad(np.asarray(n), (0, pad))
     if mesh is not None:
         return sharded_align_walk(
-            mesh, q8, t8, dc8, np.asarray(m, np.int32),
+            mesh, q4, t4, dcb, np.asarray(m, np.int32),
             np.asarray(n, np.int32), m_cap=m_cap, n_cap=n_cap, w_band=w_band,
             match=match, mismatch=mismatch, gap=gap, interpret=interpret)
-    return align_walk_batch(q8, t8, dc8, m, n, m_cap=m_cap, n_cap=n_cap,
+    return align_walk_batch(q4, t4, dcb, m, n, m_cap=m_cap, n_cap=n_cap,
                             w_band=w_band, match=match, mismatch=mismatch,
                             gap=gap, interpret=interpret)
 

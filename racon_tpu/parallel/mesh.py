@@ -30,7 +30,7 @@ try:  # jax >= 0.8: check_rep was renamed/replaced by check_vma
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
-from ..ops.nw_kernel import (align_walk_core, nw_band_batch,
+from ..ops.nw_kernel import (align_walk_packed_core, nw_band_batch,
                              nw_band_batch_ref, walk_moves_device)
 
 
@@ -110,31 +110,33 @@ def active_mesh() -> Mesh | None:
 _sharded_cache: dict = {}
 
 
-def sharded_align_walk(mesh: Mesh, q8, t8, dc8, m, n, *, m_cap, n_cap,
+def sharded_align_walk(mesh: Mesh, q4, t4, dcb, m, n, *, m_cap, n_cap,
                        w_band, match, mismatch, gap, interpret=False):
     """The production fused align+walk dispatch with the batch dimension
-    sharded over the mesh — each chip runs the single-chip Pallas kernel on
-    its shard; no cross-chip communication (pure window/overlap data
-    parallelism, the TPU analog of the reference's multi-GPU batch queues,
-    src/cuda/cudapolisher.cpp:165-180). The batch must be a multiple of the
-    mesh size (align_walk_padded arranges this)."""
+    sharded over the mesh — each chip unpacks + runs the single-chip Pallas
+    kernel on its shard; no cross-chip communication (pure window/overlap
+    data parallelism, the TPU analog of the reference's multi-GPU batch
+    queues, src/cuda/cudapolisher.cpp:165-180). Inputs are uplink-packed
+    (nw_kernel.pack_codes4 / pack_delbits); the batch must be a multiple of
+    the mesh size (align_walk_padded arranges both)."""
     key = (tuple(mesh.devices.flat), m_cap, n_cap, w_band, match, mismatch,
            gap, interpret)
     fn = _sharded_cache.get(key)
     if fn is None:
         impl = _nw_impl(interpret)
 
-        def local(q8s, t8s, dc8s, ms, ns):
-            return align_walk_core(q8s, t8s, dc8s, ms, ns, m_cap=m_cap,
-                                   n_cap=n_cap, w_band=w_band, match=match,
-                                   mismatch=mismatch, gap=gap, nw_fn=impl)
+        def local(q4s, t4s, dcbs, ms, ns):
+            return align_walk_packed_core(
+                q4s, t4s, dcbs, ms, ns, m_cap=m_cap, n_cap=n_cap,
+                w_band=w_band, match=match, mismatch=mismatch, gap=gap,
+                nw_fn=impl)
 
         fn = jax.jit(shard_map(
             local, mesh=mesh,
             in_specs=(P("win"), P("win"), P("win"), P("win"), P("win")),
             out_specs=(P("win"), P("win")), check_rep=False))
         _sharded_cache[key] = fn
-    return fn(q8, t8, dc8, m, n)
+    return fn(q4, t4, dcb, m, n)
 
 
 def polish_step_sharded(mesh: Mesh, *, m_cap, n_cap, w_band, match, mismatch,
