@@ -472,12 +472,15 @@ def walk_moves_device(moves, m, n, *, m_cap, n_cap, w_band, max_steps,
                       packed=False):
     """moves (B, m_cap//16, W) int32 (device), m/n (B,) int32 real lengths.
 
-    Returns (codes (B, max_steps) int8 emitted BACKWARD from the corner
+    Returns (codes (B, max_steps) int8 emitted BACKWARD from (m, n)
     (0=match, 1=ins, 2=del, 3=skip), escaped (B,) bool band-escape flags).
     With packed=True (max_steps % 4 == 0), codes come back as
     (B, max_steps//4) uint8 with step 4p+u in bits [2u, 2u+2) of byte p.
-    Walks that fail to reach the origin within max_steps are flagged
-    escaped (host fallback), so a short max_steps is safe."""
+    The walk starts at each item's REAL corner (m, n) — always in-band
+    since |n-m| is bounded by the caller's tier margin — so no cycles are
+    spent on the pad tail, and the loop exits as soon as every item
+    reaches the origin. Walks that fail to get there within max_steps are
+    flagged escaped (host fallback), so a short max_steps is safe."""
     B = moves.shape[0]
     dlo = band_dlo(m_cap, n_cap, w_band)
     mflat = moves.reshape(B, -1)
@@ -506,10 +509,23 @@ def walk_moves_device(moves, m, n, *, m_cap, n_cap, w_band, max_steps,
                         mv).astype(jnp.int8)
         return (i - di, j - dj, esc), out
 
-    init = (jnp.full((B,), m_cap, jnp.int32),
-            jnp.full((B,), n_cap, jnp.int32),
-            jnp.zeros((B,), bool))
-    (fi, fj, escaped), outs = jax.lax.scan(step, init, None, length=max_steps)
+    # early-exit while loop: stop as soon as every item is at the origin
+    # (or escaped) — typical paths use ~max(m, n) of the max_steps budget
+    # and pad items (m = n = 0) finish immediately
+    buf0 = jnp.full((max_steps, B), OP_STREAM_SKIP, jnp.int8)
+
+    def cond(carry):
+        s, i, j, escaped, _ = carry
+        return (s < max_steps) & jnp.any(((i != 0) | (j != 0)) & ~escaped)
+
+    def body(carry):
+        s, i, j, escaped, buf = carry
+        (i2, j2, esc2), out = step((i, j, escaped), None)
+        buf = jax.lax.dynamic_update_slice(buf, out[None, :], (s, 0))
+        return (s + 1, i2, j2, esc2, buf)
+
+    init = (jnp.int32(0), m, n, jnp.zeros((B,), bool), buf0)
+    _, fi, fj, escaped, outs = jax.lax.while_loop(cond, body, init)
     escaped = escaped | (fi != 0) | (fj != 0)  # truncated walk -> fallback
     if not packed:
         return outs.T, escaped
