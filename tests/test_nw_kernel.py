@@ -114,3 +114,24 @@ def test_kernel_identical_sequences():
     results = _run([(q, q)], (5, -4, -8))
     score, ops = results[0]
     assert ops.tolist() == [[0, 12]]
+
+
+def test_uplink_packing_roundtrip():
+    """pack_codes4/pack_delbits (host) must invert exactly through the
+    device-side unpackers."""
+    import numpy as np
+    import jax
+    from racon_tpu.ops.nw_kernel import (pack_codes4, pack_delbits,
+                                         unpack_codes4, unpack_delbits)
+
+    rng = np.random.default_rng(5)
+    q8 = rng.integers(0, 6, (7, 256)).astype(np.int8)
+    got = np.asarray(jax.jit(unpack_codes4, static_argnums=1)(
+        pack_codes4(q8), 256))
+    np.testing.assert_array_equal(got, q8)
+
+    gap = -8
+    dc8 = np.where(rng.random((7, 256)) < 0.3, 0, gap).astype(np.int8)
+    got = np.asarray(jax.jit(unpack_delbits, static_argnums=(1, 2))(
+        pack_delbits(dc8), 256, gap))
+    np.testing.assert_array_equal(got, dc8.astype(np.int32))
