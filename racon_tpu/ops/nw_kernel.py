@@ -158,10 +158,9 @@ def _nw_band_kernel(q_ref, tp_ref, gcp_ref, moves_ref, score_ref,
                 pack = pack | (mv << (2 * u))
                 hp = h
 
-            for s_i in range(slots):
-                @pl.when(p == s_i)
-                def _():
-                    moves_ref[:, s_i, :] = pack
+            # dynamic-slot store (slots is a non-lane dim, so a dynamic
+            # index is legal and beats `slots` predicated stores)
+            moves_ref[:, pl.ds(p, 1), :] = pack[:, None, :]
 
             q_reg = _shift_left(q_reg, _PACK, PAD_CODE)
             t_reg = _shift_left(t_reg, _PACK, PAD_CODE)
