@@ -24,8 +24,12 @@ from __future__ import annotations
 
 import numpy as np
 
+import os
+
 from ..utils.phred import PHRED_OFFSET
-from .nw_kernel import align_walk_padded, encode, walk_steps, PAD_CODE
+from .nw_kernel import (align_walk_gather_padded, align_walk_padded,
+                        device_put_blob, encode, pack_bits_flat,
+                        pack_codes4_flat, walk_steps, PAD_CODE)
 
 _MOVES_BUDGET = 1 << 30  # HBM bytes for one chunk's packed-move planes
 
@@ -91,6 +95,7 @@ class TpuConsensusStage:
     def __init__(self, cfg, interpret: bool):
         self.cfg = cfg
         self.interpret = interpret
+        self._dev_q = None
 
     @classmethod
     def try_create(cls, cfg):
@@ -144,6 +149,17 @@ class TpuConsensusStage:
         # the reference's CPU path.
         st = _StaticItems(windows, active,
                           depth_cap=max(1, cfg.max_window_depth))
+
+        # device-resident static layer blob (uploaded ONCE; each refinement
+        # pass then ships only backbones + per-item metadata, and the dense
+        # row matrices are gathered on device — the dominant per-pass H2D
+        # cost on tethered chips disappears). int32 gather indices bound the
+        # blob to 2^31 elements; larger runs use the row-packing uplink.
+        self._dev_q = None
+        if (os.environ.get("RACON_TPU_DEVGATHER", "1") != "0"
+                and st.lay_off[-1] < 2**31):
+            self._dev_q = device_put_blob(pack_codes4_flat(st.lay_codes),
+                                          pad_value=0x55)
 
         # refinement state per active window
         gap = cfg.gap
@@ -241,27 +257,45 @@ class TpuConsensusStage:
         # 3. device alignment: one fused align+walk dispatch per chunk; all
         # chunks are dispatched before any result is fetched so H2D, compute
         # and D2H pipeline across chunks (async dispatch)
+        use_gather = self._dev_q is not None and len(cur_blob) < 2**31
+        if use_gather:
+            # per-pass blobs on device, once, shared by every chunk
+            dev_t = device_put_blob(pack_codes4_flat(cur_enc),
+                                    pad_value=0x55)
+            dev_dc = device_put_blob(pack_bits_flat(del32 != 0),
+                                     pad_value=0xFF)
         pending = []
         for ti, (cap, w_band) in enumerate(tiers):
             dev_idx = np.flatnonzero(tier_id == ti)
             step = _chunk_size(cap, w_band)
             for c0 in range(0, len(dev_idx), step):
                 sel = dev_idx[c0 : c0 + step]
-                q8 = bindings.pack_rows(st.lay_codes, st.lay_off[sel],
-                                        st.lay_off[sel] + mlen[sel], cap,
-                                        PAD_CODE, thr)
-                t8 = bindings.pack_rows(cur_enc, t_start[sel], t_end[sel],
-                                        cap, PAD_CODE, thr)
-                dc8 = bindings.pack_rows(del8, t_start[sel], t_end[sel],
-                                         cap, gap, thr)
-                payload, _ = align_walk_padded(
-                    q8, t8, dc8, mlen[sel].astype(np.int32),
-                    nlen[sel].astype(np.int32), m_cap=cap, n_cap=cap,
-                    w_band=w_band, match=cfg.match, mismatch=cfg.mismatch,
-                    gap=gap, interpret=self.interpret,
-                    # one compiled shape per big tier (fresh compiles there
-                    # cost minutes; padding a short chunk does not)
-                    fixed_b=step if cap >= 5120 else None)
+                # one compiled shape per big tier (fresh compiles there
+                # cost minutes; padding a short chunk does not)
+                fixed_b = step if cap >= 5120 else None
+                if use_gather:
+                    meta = np.stack(
+                        [st.lay_start_dev[sel], mlen[sel], t_start[sel],
+                         nlen[sel]], axis=1).astype(np.int32)
+                    payload, _ = align_walk_gather_padded(
+                        self._dev_q, dev_t, dev_dc, meta, m_cap=cap,
+                        n_cap=cap, w_band=w_band, match=cfg.match,
+                        mismatch=cfg.mismatch, gap=gap,
+                        interpret=self.interpret, fixed_b=fixed_b)
+                else:
+                    q8 = bindings.pack_rows(st.lay_codes, st.lay_off[sel],
+                                            st.lay_off[sel] + mlen[sel], cap,
+                                            PAD_CODE, thr)
+                    t8 = bindings.pack_rows(cur_enc, t_start[sel],
+                                            t_end[sel], cap, PAD_CODE, thr)
+                    dc8 = bindings.pack_rows(del8, t_start[sel], t_end[sel],
+                                             cap, gap, thr)
+                    payload, _ = align_walk_padded(
+                        q8, t8, dc8, mlen[sel].astype(np.int32),
+                        nlen[sel].astype(np.int32), m_cap=cap, n_cap=cap,
+                        w_band=w_band, match=cfg.match,
+                        mismatch=cfg.mismatch, gap=gap,
+                        interpret=self.interpret, fixed_b=fixed_b)
                 if hasattr(payload, "copy_to_host_async"):
                     payload.copy_to_host_async()  # overlap D2H with compute
                 pending.append((sel, cap, w_band, payload))
@@ -436,6 +470,9 @@ class _StaticItems:
         self.lay_off = np.zeros(self.n_items + 1, np.int64)
         np.cumsum(qlen, out=self.lay_off[1:])
         self.lay_len = qlen
+        # offsets into the ORIGINAL blob (stable under subset): the
+        # device-resident copy is uploaded once and never compacted
+        self.lay_start_dev = self.lay_off[:-1].copy()
         rc_blob, rc_start = store.rc_arrays()
         rq_blob, rq_start = store.rq_arrays()
         hasq = store.qual_off[qid + 1] > store.qual_off[qid]
@@ -481,6 +518,7 @@ class _StaticItems:
         s.lay_off = np.zeros(s.n_items + 1, np.int64)
         np.cumsum(klen, out=s.lay_off[1:])
         s.lay_len = klen
+        s.lay_start_dev = self.lay_start_dev[ksel]
         lsel = _flat_ranges(self.lay_off[ksel], klen)
         s.lay_blob = self.lay_blob[lsel]
         s.lay_codes = self.lay_codes[lsel]

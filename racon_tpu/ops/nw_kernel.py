@@ -274,7 +274,7 @@ def align_walk_core(q8, t8, dc, m, n, *, m_cap, n_cap, w_band, match,
         max_steps=walk_steps(m_cap, n_cap, w_band), packed=True)
     payload = jnp.concatenate([codes, escaped[:, None].astype(jnp.uint8)],
                               axis=1)
-    return payload, score
+    return payload, score[: q.shape[0]]
 
 
 # ---- packed uplink: base codes ship 2-per-byte (values 0..5 fit a
@@ -376,6 +376,382 @@ def align_walk_padded(q8, t8, dc8, m, n, *, m_cap, n_cap, w_band, match,
     return align_walk_batch(q4, t4, dcb, m, n, m_cap=m_cap, n_cap=n_cap,
                             w_band=w_band, match=match, mismatch=mismatch,
                             gap=gap, interpret=interpret)
+
+
+# ---------------------------------------------------------------------- #
+# transposed kernel: band on SUBLANES, batch on LANES. On TPU, cross-LANE
+# rotates cost ~75ns each while cross-SUBLANE rotates are ~free (measured on
+# v5e); the banded-NW inner loop does log2(W)+1 shifts per row (deletion-
+# chain max-plus closure + the up-move), so the band must live on the
+# sublane axis. Row slices of the target/cost panels become dynamic
+# SUBLANE-offset loads (unconstrained, unlike lane offsets), which also
+# removes the old layout's shift registers. 6.3x faster than the lane-major
+# kernel at (B=8192, cap=640, W=128); outputs are bit-identical modulo
+# layout (moves come back (slots, W, B)).
+# ---------------------------------------------------------------------- #
+
+B_LANE = 128  # batch lanes per grid step of the transposed kernel
+
+
+def _nw_band_kernel_t(q_ref, tp_ref, gcp_ref, moves_ref, score_ref, hscr, *,
+                      m_cap, n_cap, w_band, match, mismatch, gap):
+    """Transposed layout: q (m_cap, BT), tp/gcp (n_cap+2W[+1], BT) with W
+    sublanes of padding on both sides, moves (m_cap//16, W, BT), score
+    (1, BT). Same DP semantics as _nw_band_kernel. Rows are processed in
+    _GROUP-row grid steps (minor grid dim) so the per-step moves block
+    stays small; hscr carries H across groups."""
+    W = w_band
+    BT = q_ref.shape[1]
+    dlo = band_dlo(m_cap, n_cap, W)
+    PADL = W
+    n_groups = m_cap // _GROUP
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (W, BT), 0)
+    g = pl.program_id(1)
+
+    @pl.when(g == 0)
+    def _():
+        j0 = dlo + kcol
+        g0 = gcp_ref[pl.ds(PADL + dlo, W), :]
+        hscr[...] = jnp.where((j0 >= 0) & (j0 <= n_cap), g0, NEG)
+
+    def pack_body(p, hp):
+        pack = jnp.zeros((W, BT), jnp.int32)
+        for u in range(_PACK):
+            i = g * _GROUP + p * _PACK + u + 1
+            off = i - 1 + PADL + dlo
+            t_row = tp_ref[pl.ds(off, W), :]
+            gc_here = gcp_ref[pl.ds(off + 1, W), :]
+            qi = q_ref[pl.ds(i - 1, 1), :]
+            jrow = i + dlo + kcol
+            valid = (jrow >= 1) & (jrow <= n_cap)
+            same = t_row == qi
+            one_pad = (t_row == PAD_CODE) ^ (qi == PAD_CODE)
+            sub = jnp.where(one_pad, NEG, jnp.where(same, match, mismatch))
+            diag_c = hp + sub
+            up = pltpu.roll(hp, W - 1, 0)  # circular -1: k reads hp[k+1]
+            up_c = jnp.where(kcol == W - 1, NEG, up) + gap
+            cand = jnp.maximum(diag_c, up_c)
+            cand = jnp.where(jrow == 0, i * gap, cand)
+            cand = jnp.where(valid | (jrow == 0), cand, NEG)
+            a = cand - gc_here
+            s = 1
+            while s < W:
+                r = pltpu.roll(a, s, 0)
+                a = jnp.maximum(a, jnp.where(kcol < s, 2 * NEG, r))
+                s *= 2
+            h = a + gc_here
+            h = jnp.where(valid | (jrow == 0), h, NEG)
+            mv = jnp.where(h == diag_c, 0, jnp.where(h == up_c, 1, 2))
+            mv = jnp.where(valid, mv, 3)
+            pack = pack | (mv << (2 * u))
+            hp = h
+        moves_ref[pl.ds(p, 1), :, :] = pack[None]
+        return hp
+
+    h_final = jax.lax.fori_loop(0, _GROUP // _PACK, pack_body, hscr[...])
+    hscr[...] = h_final
+
+    @pl.when(g == n_groups - 1)
+    def _():
+        k_end = n_cap - m_cap - dlo
+        score_ref[...] = jax.lax.slice(h_final, (k_end, 0), (k_end + 1, BT))
+
+
+def nw_band_batch_t(qT, tpT, gcpT, *, m_cap, n_cap, w_band, match, mismatch,
+                    gap, interpret=False):
+    """qT (m_cap, B) int32 codes, tpT (n_cap + 2W, B) codes with W PAD
+    sublanes on both sides, gcpT (n_cap + 1 + 2W, B) cumulative deletion
+    costs (W zero rows above, W edge rows below). B must be a multiple of
+    B_LANE and m_cap a multiple of 128. Returns (moves (m_cap//16, W, B)
+    int32, score (1, B) int32)."""
+    B = qT.shape[1]
+    assert B % B_LANE == 0 and m_cap % _GROUP == 0
+    W = w_band
+    kernel = functools.partial(_nw_band_kernel_t, m_cap=m_cap, n_cap=n_cap,
+                               w_band=W, match=match, mismatch=mismatch,
+                               gap=gap)
+    slots = _GROUP // _PACK
+    return pl.pallas_call(
+        kernel,
+        grid=(B // B_LANE, m_cap // _GROUP),
+        out_shape=(
+            jax.ShapeDtypeStruct((m_cap // _PACK, W, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec((m_cap, B_LANE), lambda i, g: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tpT.shape[0], B_LANE), lambda i, g: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gcpT.shape[0], B_LANE), lambda i, g: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((slots, W, B_LANE), lambda i, g: (g, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B_LANE), lambda i, g: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((W, B_LANE), jnp.int32),
+        ],
+        interpret=interpret,
+    )(qT, tpT, gcpT)
+
+
+@functools.partial(jax.jit, static_argnames=("m_cap", "n_cap", "w_band",
+                                             "max_steps", "packed"))
+def walk_moves_device_t(moves, m, n, *, m_cap, n_cap, w_band, max_steps,
+                        packed=False):
+    """walk_moves_device for the transposed move layout
+    (slots, W, B): identical op-stream outputs."""
+    B = moves.shape[2]
+    dlo = band_dlo(m_cap, n_cap, w_band)
+    mflat = moves.reshape(-1, B)
+    m = m.astype(jnp.int32)
+    n = n.astype(jnp.int32)
+
+    def step(carry, _):
+        i, j, escaped = carry
+        k = j - i - dlo
+        at_origin = (i == 0) & (j == 0)
+        row = jnp.maximum(i - 1, 0)
+        widx = (row // 16) * w_band + jnp.clip(k, 0, w_band - 1)
+        word = jnp.take_along_axis(mflat, widx[None, :], axis=0)[0]
+        mv = (word >> (2 * (row % 16))) & 3
+        mv = jnp.where(i == 0, 2, mv)
+        mv = jnp.where((j == 0) & (i > 0), 1, mv)
+        inband = (k >= 0) & (k < w_band)
+        esc = escaped | (~at_origin & (i > 0) & (j > 0) &
+                         (~inband | (mv == 3)))
+        mv = jnp.where(esc | at_origin, OP_STREAM_SKIP, mv)
+        di = jnp.where((mv == 0) | (mv == 1), 1, 0)
+        dj = jnp.where((mv == 0) | (mv == 2), 1, 0)
+        real = jnp.where(mv == 0, (i <= m) & (j <= n),
+                         jnp.where(mv == 1, i <= m, j <= n))
+        out = jnp.where((mv == OP_STREAM_SKIP) | ~real, OP_STREAM_SKIP,
+                        mv).astype(jnp.int8)
+        return (i - di, j - dj, esc), out
+
+    buf0 = jnp.full((max_steps, B), OP_STREAM_SKIP, jnp.int8)
+
+    def cond(carry):
+        s, i, j, escaped, _ = carry
+        return (s < max_steps) & jnp.any(((i != 0) | (j != 0)) & ~escaped)
+
+    def body(carry):
+        s, i, j, escaped, buf = carry
+        (i2, j2, esc2), out = step((i, j, escaped), None)
+        buf = jax.lax.dynamic_update_slice(buf, out[None, :], (s, 0))
+        return (s + 1, i2, j2, esc2, buf)
+
+    init = (jnp.int32(0), m, n, jnp.zeros((B,), bool), buf0)
+    _, fi, fj, escaped, outs = jax.lax.while_loop(cond, body, init)
+    escaped = escaped | (fi != 0) | (fj != 0)
+    if not packed:
+        return outs.T, escaped
+    assert max_steps % 4 == 0
+    quads = outs.astype(jnp.uint8).reshape(max_steps // 4, 4, B)
+    shifts = (2 * jnp.arange(4, dtype=jnp.uint8))[None, :, None]
+    return jnp.sum(quads << shifts, axis=1, dtype=jnp.uint8).T, escaped
+
+
+# ---------------------------------------------------------------------- #
+# device-resident gather path: the static layer codes are uploaded ONCE per
+# stage as a nibble-packed flat blob; each refinement pass uploads only the
+# new backbone blob (+ deletion-cost bitmask) and per-item (start, len)
+# metadata, and the (B, CAP) row matrices are gathered ON DEVICE. This
+# removes the dominant per-pass H2D cost on tethered/tunneled chips (the
+# dense row matrices are ~25x larger than the underlying blobs).
+# ---------------------------------------------------------------------- #
+
+
+def pack_codes4_flat(codes8: np.ndarray) -> np.ndarray:
+    """(L,) int8 codes -> (ceil(L/2),) uint8 nibble-packed flat blob."""
+    x = np.asarray(codes8).view(np.uint8)
+    if len(x) % 2:
+        x = np.concatenate([x, np.full(1, PAD_CODE, np.uint8)])
+    return (x[0::2] | (x[1::2] << 4)).astype(np.uint8)
+
+
+def pack_bits_flat(mask: np.ndarray) -> np.ndarray:
+    """(L,) bool/int -> (ceil(L/8),) uint8 little-endian bitmask blob."""
+    return np.packbits(np.asarray(mask) != 0, bitorder="little")
+
+
+def blob_bucket(n: int, minimum: int = 1 << 12) -> int:
+    """Blob shapes are jit-static: bucket to the next power of two so the
+    compiled-program set stays small as backbones grow across passes."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def _gather_nib_rows(blob4, start, length, cap: int, fill: int):
+    """Gather rows [start[i], start[i]+length[i]) of a nibble-packed flat
+    blob into a (B, cap) int8 code matrix, fill beyond each row's length."""
+    pos = jax.lax.broadcasted_iota(jnp.int32, (start.shape[0], cap), 1)
+    idx = start[:, None].astype(jnp.int32) + pos
+    valid = pos < length[:, None]
+    idxc = jnp.where(valid, idx, 0)
+    byte = blob4[idxc >> 1]
+    code = (byte >> ((idxc & 1) << 2)) & 0xF
+    return jnp.where(valid, code, fill).astype(jnp.int8)
+
+
+def _gather_bit_rows(bits, start, length, cap: int, fillbit: int):
+    """Same row gather for a little-endian bitmask blob -> (B, cap) int32
+    in {0, 1}."""
+    pos = jax.lax.broadcasted_iota(jnp.int32, (start.shape[0], cap), 1)
+    idx = start[:, None].astype(jnp.int32) + pos
+    valid = pos < length[:, None]
+    idxc = jnp.where(valid, idx, 0)
+    byte = bits[idxc >> 3]
+    bit = (byte >> (idxc & 7)) & 1
+    return jnp.where(valid, bit, fillbit).astype(jnp.int32)
+
+
+def align_walk_gather_core(qblob4, tblob4, dcbits, meta, *, m_cap, n_cap,
+                           w_band, match, mismatch, gap, nw_fn):
+    """Traceable fused body of the gather path. meta is (B, 4) int32 rows
+    [q_start, m, t_start, n] (element indices into the flat blobs)."""
+    qs, m, ts, n = meta[:, 0], meta[:, 1], meta[:, 2], meta[:, 3]
+    q8 = _gather_nib_rows(qblob4, qs, m, m_cap, PAD_CODE)
+    t8 = _gather_nib_rows(tblob4, ts, n, n_cap, PAD_CODE)
+    dc = _gather_bit_rows(dcbits, ts, n, n_cap, 1) * gap
+    return align_walk_core(q8, t8, dc, m, n, m_cap=m_cap, n_cap=n_cap,
+                           w_band=w_band, match=match, mismatch=mismatch,
+                           gap=gap, nw_fn=nw_fn)
+
+
+def _gather_nib_cols(blob4, start, length, rows: int, row_off: int,
+                     fill: int):
+    """Transposed row gather: output (rows, B) int8 where entry (r, b) is
+    blob element start[b] + r + row_off when 0 <= r + row_off < length[b],
+    else fill. row_off < 0 leaves `-row_off` fill sublanes on top (used for
+    the target panel's band padding)."""
+    pos = jax.lax.broadcasted_iota(jnp.int32, (rows, start.shape[0]),
+                                   0) + row_off
+    idx = start[None, :].astype(jnp.int32) + pos
+    valid = (pos >= 0) & (pos < length[None, :])
+    idxc = jnp.where(valid, idx, 0)
+    byte = blob4[idxc >> 1]
+    code = (byte >> ((idxc & 1) << 2)) & 0xF
+    return jnp.where(valid, code, fill).astype(jnp.int8)
+
+
+def _gather_bit_cols(bits, start, length, rows: int, fillbit: int):
+    pos = jax.lax.broadcasted_iota(jnp.int32, (rows, start.shape[0]), 0)
+    idx = start[None, :].astype(jnp.int32) + pos
+    valid = pos < length[None, :]
+    idxc = jnp.where(valid, idx, 0)
+    byte = bits[idxc >> 3]
+    bit = (byte >> (idxc & 7)) & 1
+    return jnp.where(valid, bit, fillbit).astype(jnp.int32)
+
+
+def align_walk_gather_core_t(qblob4, tblob4, dcbits, meta, *, m_cap, n_cap,
+                             w_band, match, mismatch, gap, interpret=False):
+    """Fused gather + transposed banded NW + transposed walk: the production
+    real-chip body (see nw_band_batch_t). Payload/score outputs are
+    bit-identical to align_walk_gather_core's."""
+    qs, m, ts, n = meta[:, 0], meta[:, 1], meta[:, 2], meta[:, 3]
+    B = meta.shape[0]
+    W = w_band
+    qT = _gather_nib_cols(qblob4, qs, m, m_cap, 0, PAD_CODE).astype(jnp.int32)
+    tpT = _gather_nib_cols(tblob4, ts, n, n_cap + 2 * W, -W,
+                           PAD_CODE).astype(jnp.int32)
+    dcT = _gather_bit_cols(dcbits, ts, n, n_cap, 1) * gap
+    gc = jnp.concatenate(
+        [jnp.zeros((1, B), jnp.int32), jnp.cumsum(dcT, axis=0)])
+    gcpT = jnp.concatenate([jnp.zeros((W, B), jnp.int32), gc,
+                            jnp.broadcast_to(gc[-1:], (W, B))])
+    moves, score = nw_band_batch_t(qT, tpT, gcpT, m_cap=m_cap, n_cap=n_cap,
+                                   w_band=W, match=match, mismatch=mismatch,
+                                   gap=gap, interpret=interpret)
+    codes, escaped = walk_moves_device_t(
+        moves, m, n, m_cap=m_cap, n_cap=n_cap, w_band=W,
+        max_steps=walk_steps(m_cap, n_cap, W), packed=True)
+    payload = jnp.concatenate([codes, escaped[:, None].astype(jnp.uint8)],
+                              axis=1)
+    return payload, score.T
+
+
+@functools.partial(jax.jit, static_argnames=("m_cap", "n_cap", "w_band",
+                                             "match", "mismatch", "gap",
+                                             "interpret"))
+def align_walk_gather_batch(qblob4, tblob4, dcbits, meta, *, m_cap, n_cap,
+                            w_band, match, mismatch, gap, interpret=False):
+    """Device-resident fused align+walk: qblob4/tblob4 (L,) uint8
+    nibble-packed code blobs (pack_codes4_flat), dcbits (L//8,) uint8
+    deletion-cost bitmask blob (pack_bits_flat; bit set = cost `gap`), meta
+    (B, 4) int32 [q_start, m, t_start, n]. Pad items use meta rows of
+    zeros. Same outputs as align_walk_batch. On real chips this runs the
+    transposed (sublane-band) kernel; interpret mode keeps the lane-major
+    kernel (whose interpret path is exercised by the CPU test suite)."""
+    if not interpret and m_cap % _GROUP == 0:
+        return align_walk_gather_core_t(
+            qblob4, tblob4, dcbits, meta, m_cap=m_cap, n_cap=n_cap,
+            w_band=w_band, match=match, mismatch=mismatch, gap=gap)
+    nw_fn = functools.partial(nw_band_batch, interpret=interpret)
+    return align_walk_gather_core(qblob4, tblob4, dcbits, meta, m_cap=m_cap,
+                                  n_cap=n_cap, w_band=w_band, match=match,
+                                  mismatch=mismatch, gap=gap, nw_fn=nw_fn)
+
+
+def align_walk_gather_padded(qblob4_dev, tblob4_dev, dcbits_dev, meta, *,
+                             m_cap, n_cap, w_band, match, mismatch, gap,
+                             interpret=False, fixed_b=None):
+    """Batch-size-canonicalizing wrapper around align_walk_gather_batch
+    (same padding policy as align_walk_padded: next power of two, min 16,
+    or straight to fixed_b; mesh-aligned when sharding). The blob arguments
+    should already be on device (utils: device_put_blob) so only meta rides
+    the per-call uplink. Returns (payload, score) for the PADDED batch."""
+    from ..parallel.mesh import active_mesh, sharded_align_walk_gather
+
+    B = meta.shape[0]
+    mesh = active_mesh()
+    if fixed_b is not None:
+        bp = max(fixed_b, B)
+    else:
+        bp = 16
+        while bp < B:
+            bp *= 2
+    # the transposed kernel tiles the batch in B_LANE lanes (and each mesh
+    # shard needs an equal, B_LANE-aligned slice)
+    unit = (mesh.devices.size if mesh is not None else 1) * B_LANE
+    bp = -(-bp // unit) * unit
+    if bp != B:
+        meta = np.pad(np.asarray(meta), ((0, bp - B), (0, 0)))
+    if mesh is not None:
+        return sharded_align_walk_gather(
+            mesh, qblob4_dev, tblob4_dev, dcbits_dev, meta, m_cap=m_cap,
+            n_cap=n_cap, w_band=w_band, match=match, mismatch=mismatch,
+            gap=gap, interpret=interpret)
+    return align_walk_gather_batch(
+        qblob4_dev, tblob4_dev, dcbits_dev, meta, m_cap=m_cap, n_cap=n_cap,
+        w_band=w_band, match=match, mismatch=mismatch, gap=gap,
+        interpret=interpret)
+
+
+def device_put_blob(arr: np.ndarray, bucket_min: int = 1 << 12,
+                    pad_value: int = 0):
+    """Pad a flat blob to its power-of-two bucket and place it on device
+    (replicated over the active mesh when one exists). Returns the device
+    array; per-call uplink then carries only the small metadata."""
+    import jax as _jax
+    from ..parallel.mesh import active_mesh
+
+    n = blob_bucket(len(arr), bucket_min)
+    if n != len(arr):
+        arr = np.pad(arr, (0, n - len(arr)), constant_values=pad_value)
+    mesh = active_mesh()
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return _jax.device_put(arr, NamedSharding(mesh, P()))
+    return _jax.device_put(arr)
 
 
 # ---------------------------------------------------------------------- #

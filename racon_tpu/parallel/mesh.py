@@ -30,7 +30,8 @@ try:  # jax >= 0.8: check_rep was renamed/replaced by check_vma
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
-from ..ops.nw_kernel import (align_walk_packed_core, nw_band_batch,
+from ..ops.nw_kernel import (align_walk_gather_core, align_walk_gather_core_t,
+                             align_walk_packed_core, nw_band_batch,
                              nw_band_batch_ref, walk_moves_device)
 
 
@@ -137,6 +138,41 @@ def sharded_align_walk(mesh: Mesh, q4, t4, dcb, m, n, *, m_cap, n_cap,
             out_specs=(P("win"), P("win")), check_rep=False))
         _sharded_cache[key] = fn
     return fn(q4, t4, dcb, m, n)
+
+
+_sharded_gather_cache: dict = {}
+
+
+def sharded_align_walk_gather(mesh: Mesh, qblob4, tblob4, dcbits, meta, *,
+                              m_cap, n_cap, w_band, match, mismatch, gap,
+                              interpret=False):
+    """Device-resident gather variant of sharded_align_walk: the flat code
+    blobs are REPLICATED over the mesh (uploaded once per pass via
+    nw_kernel.device_put_blob) and only the (B, 4) per-item metadata is
+    sharded; each chip gathers its own row matrices locally — still no
+    cross-chip communication in the hot loop."""
+    key = (tuple(mesh.devices.flat), m_cap, n_cap, w_band, match, mismatch,
+           gap, interpret)
+    fn = _sharded_gather_cache.get(key)
+    if fn is None:
+        impl = _nw_impl(interpret)
+
+        def local(qb, tb, db, metas):
+            if not interpret and m_cap % 128 == 0:
+                # real chips run the transposed (sublane-band) kernel
+                return align_walk_gather_core_t(
+                    qb, tb, db, metas, m_cap=m_cap, n_cap=n_cap,
+                    w_band=w_band, match=match, mismatch=mismatch, gap=gap)
+            return align_walk_gather_core(
+                qb, tb, db, metas, m_cap=m_cap, n_cap=n_cap, w_band=w_band,
+                match=match, mismatch=mismatch, gap=gap, nw_fn=impl)
+
+        fn = jax.jit(shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(), P(), P("win")),
+            out_specs=(P("win"), P("win")), check_rep=False))
+        _sharded_gather_cache[key] = fn
+    return fn(qblob4, tblob4, dcbits, meta)
 
 
 def polish_step_sharded(mesh: Mesh, *, m_cap, n_cap, w_band, match, mismatch,

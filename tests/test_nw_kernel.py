@@ -135,3 +135,100 @@ def test_uplink_packing_roundtrip():
     got = np.asarray(jax.jit(unpack_delbits, static_argnums=(1, 2))(
         pack_delbits(dc8), 256, gap))
     np.testing.assert_array_equal(got, dc8.astype(np.int32))
+
+
+def test_gather_path_matches_packed_path():
+    """Device-resident gather entry (blob + per-item metadata) must produce
+    the exact payload/score of the row-matrix path, including under the
+    multi-device CPU mesh (sharded_align_walk_gather)."""
+    import jax
+    from racon_tpu.ops.nw_kernel import (
+        align_walk_batch, align_walk_gather_batch, device_put_blob,
+        pack_bits_flat, pack_codes4, pack_codes4_flat, pack_delbits)
+    from racon_tpu.parallel import mesh as pmesh
+
+    rng = np.random.default_rng(7)
+    cap, band = 256, 128
+    B = 16
+    gap = -8
+    lens_q = rng.integers(40, cap, B)
+    lens_t = rng.integers(40, cap, B)
+    # flat blobs with irregular (incl. odd) starts
+    qparts = [rng.integers(0, 5, L).astype(np.int8) for L in lens_q]
+    tparts = [rng.integers(0, 5, L).astype(np.int8) for L in lens_t]
+    qblob = np.concatenate(qparts)
+    tblob = np.concatenate(tparts)
+    dmask = rng.random(len(tblob)) < 0.3  # deletion-cost bit per column
+    qoff = np.concatenate([[0], np.cumsum(lens_q)])
+    toff = np.concatenate([[0], np.cumsum(lens_t)])
+
+    # row-matrix path inputs
+    q8 = np.full((B, cap), PAD_CODE, np.int8)
+    t8 = np.full((B, cap), PAD_CODE, np.int8)
+    dc8 = np.full((B, cap), gap, np.int8)
+    for b in range(B):
+        q8[b, : lens_q[b]] = qparts[b]
+        t8[b, : lens_t[b]] = tparts[b]
+        dc8[b, : lens_t[b]] = np.where(
+            dmask[toff[b] : toff[b] + lens_t[b]], gap, 0)
+    m = lens_q.astype(np.int32)
+    n = lens_t.astype(np.int32)
+    kw = dict(m_cap=cap, n_cap=cap, w_band=band, match=5, mismatch=-4,
+              gap=gap)
+    want_p, want_s = align_walk_batch(pack_codes4(q8), pack_codes4(t8),
+                                      pack_delbits(dc8), m, n,
+                                      interpret=True, **kw)
+
+    meta = np.stack([qoff[:-1], m, toff[:-1], n], axis=1).astype(np.int32)
+    got_p, got_s = align_walk_gather_batch(
+        pack_codes4_flat(qblob), pack_codes4_flat(tblob),
+        pack_bits_flat(dmask), meta, interpret=True, **kw)
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
+    np.testing.assert_array_equal(np.asarray(got_s), np.asarray(want_s))
+
+    # sharded over the virtual CPU mesh (blob replicated, meta sharded)
+    msh = pmesh.window_mesh()
+    got_p2, got_s2 = pmesh.sharded_align_walk_gather(
+        msh, device_put_blob(pack_codes4_flat(qblob), pad_value=0x55),
+        device_put_blob(pack_codes4_flat(tblob), pad_value=0x55),
+        device_put_blob(pack_bits_flat(dmask), pad_value=0xFF), meta,
+        interpret=True, **kw)
+    np.testing.assert_array_equal(np.asarray(got_p2), np.asarray(want_p))
+    np.testing.assert_array_equal(np.asarray(got_s2), np.asarray(want_s))
+
+
+def test_transposed_core_matches_row_core():
+    """The transposed (sublane-band) fused core — the real-chip production
+    path — must produce the exact payload/score of the lane-major gather
+    core (pallas interpret mode for both)."""
+    import functools
+    import numpy as np
+    from racon_tpu.ops.nw_kernel import (
+        align_walk_gather_core, align_walk_gather_core_t, nw_band_batch,
+        pack_bits_flat, pack_codes4_flat)
+
+    rng = np.random.default_rng(13)
+    cap, band, gap = 256, 128, -8
+    B = 128  # B_LANE granularity of the transposed kernel
+    lens_q = rng.integers(40, cap, B)
+    lens_t = rng.integers(40, cap, B)
+    qblob = np.concatenate(
+        [rng.integers(0, 5, L).astype(np.int8) for L in lens_q])
+    tblob = np.concatenate(
+        [rng.integers(0, 5, L).astype(np.int8) for L in lens_t])
+    dmask = rng.random(len(tblob)) < 0.3
+    qoff = np.concatenate([[0], np.cumsum(lens_q)])
+    toff = np.concatenate([[0], np.cumsum(lens_t)])
+    meta = np.stack([qoff[:-1], lens_q, toff[:-1], lens_t],
+                    axis=1).astype(np.int32)
+    kw = dict(m_cap=cap, n_cap=cap, w_band=band, match=5, mismatch=-4,
+              gap=gap)
+    q4, t4, db = (pack_codes4_flat(qblob), pack_codes4_flat(tblob),
+                  pack_bits_flat(dmask))
+    want_p, want_s = align_walk_gather_core(
+        q4, t4, db, meta,
+        nw_fn=functools.partial(nw_band_batch, interpret=True), **kw)
+    got_p, got_s = align_walk_gather_core_t(q4, t4, db, meta,
+                                            interpret=True, **kw)
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
+    np.testing.assert_array_equal(np.asarray(got_s), np.asarray(want_s))
