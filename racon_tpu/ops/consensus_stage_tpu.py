@@ -150,13 +150,16 @@ class TpuConsensusStage:
         st = _StaticItems(windows, active,
                           depth_cap=max(1, cfg.max_window_depth))
 
-        # device-resident static layer blob (uploaded ONCE; each refinement
+        # optional device-resident layer blob (uploaded ONCE; each refinement
         # pass then ships only backbones + per-item metadata, and the dense
-        # row matrices are gathered on device — the dominant per-pass H2D
-        # cost on tethered chips disappears). int32 gather indices bound the
-        # blob to 2^31 elements; larger runs use the row-packing uplink.
+        # row matrices are gathered on device). Off by default: XLA's
+        # element gather on TPU measures ~20x slower than host row packing
+        # + H2D + on-device transpose (the uplink runs ~1ms/MB), so the
+        # packed-rows path wins end-to-end; set RACON_TPU_DEVGATHER=1 on
+        # uplink-starved links. int32 gather indices bound the blob to 2^31
+        # elements.
         self._dev_q = None
-        if (os.environ.get("RACON_TPU_DEVGATHER", "1") != "0"
+        if (os.environ.get("RACON_TPU_DEVGATHER", "0") == "1"
                 and st.lay_off[-1] < 2**31):
             self._dev_q = device_put_blob(pack_codes4_flat(st.lay_codes),
                                           pad_value=0x55)

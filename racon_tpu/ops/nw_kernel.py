@@ -314,6 +314,52 @@ def align_walk_packed_core(q4, t4, dcb, m, n, *, m_cap, n_cap, w_band, match,
                            gap=gap, nw_fn=nw_fn)
 
 
+_T_VMEM_LIMIT = 12 << 20  # scoped-vmem budget for the transposed kernel
+
+
+def t_kernel_fits(m_cap: int, n_cap: int, w_band: int) -> bool:
+    """Whether the transposed (sublane-band) kernel's per-grid-step VMEM
+    footprint fits the scoped budget: it loads full (rows, B_LANE) int32
+    panels, so big tiers must fall back to the lane-major kernel (whose
+    blocks are (B_TILE, ...) and stay small)."""
+    per_lane = 4 * B_LANE
+    qt = m_cap * per_lane
+    tp = (n_cap + 2 * w_band) * per_lane
+    gcp = (n_cap + 1 + 2 * w_band) * per_lane
+    moves = (_GROUP // _PACK) * w_band * per_lane
+    scratch = w_band * per_lane
+    return m_cap % _GROUP == 0 and (
+        qt + tp + gcp + moves + scratch) <= _T_VMEM_LIMIT
+
+
+def align_walk_packed_core_t(q4, t4, dcb, m, n, *, m_cap, n_cap, w_band,
+                             match, mismatch, gap):
+    """Transposed twin of align_walk_packed_core: unpack the nibble rows,
+    transpose the panels on device (cheap relayouts vs the ~25x larger
+    uplink), and run the sublane-band kernel + transposed walk. Outputs are
+    bit-identical to align_walk_packed_core's."""
+    B = q4.shape[0]
+    W = w_band
+    q8 = unpack_codes4(q4, m_cap)
+    t8 = unpack_codes4(t4, n_cap)
+    dc = unpack_delbits(dcb, n_cap, gap)
+    qT = q8.T.astype(jnp.int32)
+    tpT = jnp.pad(t8.T.astype(jnp.int32), ((W, W), (0, 0)),
+                  constant_values=PAD_CODE)
+    gc = jnp.pad(jnp.cumsum(dc.T, axis=0), ((1, 0), (0, 0)))
+    gcpT = jnp.concatenate([jnp.zeros((W, B), jnp.int32), gc,
+                            jnp.broadcast_to(gc[-1:], (W, B))])
+    moves, score = nw_band_batch_t(qT, tpT, gcpT, m_cap=m_cap, n_cap=n_cap,
+                                   w_band=W, match=match, mismatch=mismatch,
+                                   gap=gap)
+    codes, escaped = walk_moves_device_t(
+        moves, m, n, m_cap=m_cap, n_cap=n_cap, w_band=W,
+        max_steps=walk_steps(m_cap, n_cap, W), packed=True)
+    payload = jnp.concatenate([codes, escaped[:, None].astype(jnp.uint8)],
+                              axis=1)
+    return payload, score.T
+
+
 @functools.partial(jax.jit, static_argnames=("m_cap", "n_cap", "w_band",
                                              "match", "mismatch", "gap",
                                              "interpret"))
@@ -326,7 +372,14 @@ def align_walk_batch(q4, t4, dcb, m, n, *, m_cap, n_cap, w_band, match,
     (B, walk_steps(...)//4 + 1) uint8, score (B, 1) int32) where
     payload[:, :-1] is the backward op stream packed 4 steps/byte and
     payload[:, -1] the band-escape flag — one uplink-light H2D and ONE
-    D2H transfer per dispatch."""
+    D2H transfer per dispatch. On real chips (B a multiple of B_LANE,
+    m_cap a multiple of 128) the transposed sublane-band kernel runs;
+    interpret mode keeps the lane-major kernel for the CPU test suite."""
+    if (not interpret and t_kernel_fits(m_cap, n_cap, w_band)
+            and q4.shape[0] % B_LANE == 0):
+        return align_walk_packed_core_t(
+            q4, t4, dcb, m, n, m_cap=m_cap, n_cap=n_cap, w_band=w_band,
+            match=match, mismatch=mismatch, gap=gap)
     nw_fn = functools.partial(nw_band_batch, interpret=interpret)
     return align_walk_packed_core(q4, t4, dcb, m, n, m_cap=m_cap,
                                   n_cap=n_cap, w_band=w_band, match=match,
@@ -355,9 +408,11 @@ def align_walk_padded(q8, t8, dc8, m, n, *, m_cap, n_cap, w_band, match,
         bp = 16
         while bp < B:
             bp *= 2
-    if mesh is not None:  # every shard needs an equal, B_TILE-aligned slice
-        unit = mesh.devices.size * B_TILE
-        bp = -(-bp // unit) * unit
+    # every mesh shard needs an equal slice; real chips additionally pad to
+    # B_LANE so the transposed (sublane-band) kernel path is eligible
+    lane_unit = B_TILE if interpret else B_LANE
+    unit = (mesh.devices.size if mesh is not None else 1) * lane_unit
+    bp = -(-bp // unit) * unit
     q4 = pack_codes4(q8)
     t4 = pack_codes4(t8)
     dcb = pack_delbits(dc8)
@@ -690,7 +745,7 @@ def align_walk_gather_batch(qblob4, tblob4, dcbits, meta, *, m_cap, n_cap,
     zeros. Same outputs as align_walk_batch. On real chips this runs the
     transposed (sublane-band) kernel; interpret mode keeps the lane-major
     kernel (whose interpret path is exercised by the CPU test suite)."""
-    if not interpret and m_cap % _GROUP == 0:
+    if not interpret and t_kernel_fits(m_cap, n_cap, w_band):
         return align_walk_gather_core_t(
             qblob4, tblob4, dcbits, meta, m_cap=m_cap, n_cap=n_cap,
             w_band=w_band, match=match, mismatch=mismatch, gap=gap)

@@ -31,8 +31,9 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 from ..ops.nw_kernel import (align_walk_gather_core, align_walk_gather_core_t,
-                             align_walk_packed_core, nw_band_batch,
-                             nw_band_batch_ref, walk_moves_device)
+                             align_walk_packed_core, align_walk_packed_core_t,
+                             nw_band_batch, nw_band_batch_ref,
+                             t_kernel_fits, walk_moves_device, B_LANE)
 
 
 def _nw_impl(interpret):
@@ -127,6 +128,13 @@ def sharded_align_walk(mesh: Mesh, q4, t4, dcb, m, n, *, m_cap, n_cap,
         impl = _nw_impl(interpret)
 
         def local(q4s, t4s, dcbs, ms, ns):
+            # shapes are trace-time constants, so this picks per batch shape
+            if (not interpret and t_kernel_fits(m_cap, n_cap, w_band)
+                    and q4s.shape[0] % B_LANE == 0):
+                # real chips run the transposed (sublane-band) kernel
+                return align_walk_packed_core_t(
+                    q4s, t4s, dcbs, ms, ns, m_cap=m_cap, n_cap=n_cap,
+                    w_band=w_band, match=match, mismatch=mismatch, gap=gap)
             return align_walk_packed_core(
                 q4s, t4s, dcbs, ms, ns, m_cap=m_cap, n_cap=n_cap,
                 w_band=w_band, match=match, mismatch=mismatch, gap=gap,
@@ -158,7 +166,7 @@ def sharded_align_walk_gather(mesh: Mesh, qblob4, tblob4, dcbits, meta, *,
         impl = _nw_impl(interpret)
 
         def local(qb, tb, db, metas):
-            if not interpret and m_cap % 128 == 0:
+            if not interpret and t_kernel_fits(m_cap, n_cap, w_band):
                 # real chips run the transposed (sublane-band) kernel
                 return align_walk_gather_core_t(
                     qb, tb, db, metas, m_cap=m_cap, n_cap=n_cap,
