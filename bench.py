@@ -19,20 +19,44 @@ import time
 
 import numpy as np
 
-N_WINDOWS = 256
+N_WINDOWS = 2048  # large enough to saturate the chip (fixed per-dispatch
+                  # costs amortize like a genome-scale run)
 WINDOW_LEN = 500
 DEPTH = 20
 ERR = 0.12
-REPEATS = 5  # median; the tunneled chip shows multi-second latency spikes
+REPEATS = 3  # median; the tunneled chip shows multi-second latency spikes
 
 
-def build_workload(seed=1234):
+def _mutate_read(rng, seg):
+    """Vectorized ONT-like read simulation: per-base del/ins/sub at ERR."""
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    r = rng.random(len(seg))
+    keep = r >= ERR / 3                      # deletions
+    ins = r < 2 * ERR / 3
+    ins &= keep  # insertion after a kept base (matches the scalar version:
+    # the branch ordering made dels and inss disjoint)
+    sub = (r >= 2 * ERR / 3) & (r < ERR)
+    base = seg.copy()
+    base[sub] = ACGT[rng.integers(0, 4, int(sub.sum()))]
+    # interleave: emit kept base, then an inserted random base where ins
+    out_len = keep.astype(np.int64) + ins.astype(np.int64)
+    off = np.zeros(len(seg) + 1, np.int64)
+    np.cumsum(out_len, out=off[1:])
+    read = np.empty(int(off[-1]), np.uint8)
+    read[off[:-1][keep]] = base[keep]
+    ipos = off[:-1][ins] + 1
+    read[ipos] = ACGT[rng.integers(0, 4, len(ipos))]
+    return read
+
+
+def build_workload(seed=1234, n_windows=None):
     from racon_tpu.core.store import SequenceStore
     from racon_tpu.core.windows import WindowSet, WINDOW_TYPE_TGS
 
+    n_windows = n_windows or N_WINDOWS
     rng = np.random.default_rng(seed)
     ACGT = np.frombuffer(b"ACGT", np.uint8)
-    glen = N_WINDOWS * WINDOW_LEN
+    glen = n_windows * WINDOW_LEN
     true = rng.choice(ACGT, glen)
     draft = true.copy()
     # draft errors: subs + deletions (ONT-like draft)
@@ -45,7 +69,6 @@ def build_workload(seed=1234):
     # store: target (draft) + reads
     names = [b"ctg"]
     parts = [draft]
-    layers = []  # (qid, begin, end, qbegin, qlen)
     qid = 1
     # reads tile the target; each read ~2kb covering 4 windows, staggered.
     # read r spans draft[start:end]; its error-free source is the matching
@@ -55,20 +78,7 @@ def build_workload(seed=1234):
     for start in range(0, len(draft) - 100, step):
         end = min(start + read_len_t, len(draft))
         seg = true[keep[start] : keep[end - 1] + 1]
-        out = []
-        for b in seg:
-            r = rng.random()
-            if r < ERR / 3:
-                continue
-            if r < 2 * ERR / 3:
-                out.append(b)
-                out.append(rng.choice(ACGT))
-                continue
-            if r < ERR:
-                out.append(rng.choice(ACGT))
-            else:
-                out.append(b)
-        read = np.array(out, np.uint8)
+        read = _mutate_read(rng, seg)
         names.append(b"r%d" % qid)
         parts.append(read)
         qid += 1

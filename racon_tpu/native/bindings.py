@@ -69,6 +69,8 @@ def _configure(lib: C.CDLL) -> C.CDLL:
         C.c_int64, C.c_int32, _i32p, _i64p, _i64p]
     lib.rt_opstream_packed_to_ops_batch.argtypes = [
         _u8p, C.c_int64, C.c_int64, C.c_int32, _i32p, _i64p, _i64p]
+    lib.rt_opstream_rle_to_ops_batch.argtypes = [
+        _u8p, C.c_int64, C.c_int64, C.c_int32, _i32p, _i64p, _i64p]
     lib.rt_pack_rows.argtypes = [
         _u8p, _i64p, _i64p, C.c_int64, C.c_int64, C.c_uint8, _u8p, C.c_int32]
     lib.rt_poa_round_batch.argtypes = [
@@ -377,6 +379,23 @@ def opstream_packed_to_ops_batch(codes, max_steps, m, n, n_threads):
     counts = np.zeros(B, np.int64)
     lib.rt_opstream_packed_to_ops_batch(
         _as_u8(codes), B, max_steps, n_threads, out, out_off, counts)
+    return out.reshape(-1, 2), out_off, counts
+
+
+def opstream_rle_to_ops_batch(codes, max_events, m, n, n_threads):
+    """codes: (B, max_events) uint8 backward RLE event streams from the
+    device RLE walk (0 = skip, 1..200 = diagonal run, 201 = insertion,
+    202 = deletion). Returns (ops flat (sum,2) int32, offsets, counts)."""
+    lib = get_lib()
+    B = codes.shape[0]
+    m = np.asarray(m)
+    n = np.asarray(n)
+    out_off = np.zeros(B + 1, np.int64)
+    np.cumsum(m + n + 2, out=out_off[1:])
+    out = np.zeros(int(out_off[-1]) * 2, np.int32)
+    counts = np.zeros(B, np.int64)
+    lib.rt_opstream_rle_to_ops_batch(
+        _as_u8(codes), B, max_events, n_threads, out, out_off, counts)
     return out.reshape(-1, 2), out_off, counts
 
 

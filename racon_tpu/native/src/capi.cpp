@@ -483,6 +483,39 @@ void rt_opstream_packed_to_ops_batch(const uint8_t* codes, int64_t n_items,
     });
 }
 
+// decode backward RLE event streams from the device walk (byte 0 = skip,
+// 1..200 = diagonal run of that length, 201 = one insertion, 202 = one
+// deletion) into forward op lists, merging adjacent same-op runs
+void rt_opstream_rle_to_ops_batch(const uint8_t* codes, int64_t n_items,
+                                  int64_t max_events, int32_t n_threads,
+                                  int32_t* out_ops, const int64_t* out_ops_off,
+                                  int64_t* out_ops_count) {
+    rt::parallel_for(n_items, n_threads, [&](int64_t i, int32_t) {
+        const uint8_t* s = codes + i * max_events;
+        int32_t* dst = out_ops + out_ops_off[i] * 2;
+        const int64_t cap = out_ops_off[i + 1] - out_ops_off[i];
+        int64_t cnt = 0;
+        int32_t prev = -1;
+        for (int64_t k = max_events - 1; k >= 0; --k) {
+            const uint8_t v = s[k];
+            if (v == 0) continue;
+            int32_t op, len;
+            if (v <= 200) { op = 0; len = v; }
+            else if (v == 201) { op = 1; len = 1; }
+            else { op = 2; len = 1; }
+            if (op == prev && cnt > 0) {
+                dst[(cnt - 1) * 2 + 1] += len;
+            } else if (cnt < cap) {
+                dst[cnt * 2] = op;
+                dst[cnt * 2 + 1] = len;
+                ++cnt;
+                prev = op;
+            }
+        }
+        out_ops_count[i] = cnt;
+    });
+}
+
 // pad variable-length blob slices into a dense (n_rows, cap) byte matrix —
 // the host-side batch packer for device payloads (threaded memcpy)
 void rt_pack_rows(const uint8_t* blob, const int64_t* starts,

@@ -15,7 +15,8 @@ from __future__ import annotations
 import numpy as np
 
 from .consensus_stage_tpu import _concat_off, chunk_size
-from .nw_kernel import align_walk_padded, encode, walk_steps, PAD_CODE
+from .nw_kernel import (align_walk_padded, encode, rle_events, walk_steps,
+                        PAD_CODE)
 
 # canonical (cap, band) tiers; items beyond the last tier go to the host.
 # Few tiers on purpose: every distinct compiled shape costs ~2s of
@@ -127,7 +128,7 @@ class TpuAlignStage:
                                         toff_all[sel] + nlen[sel], cap,
                                         PAD_CODE, thr)
                 dc8 = np.full((len(sel), cap), -1, np.int8)
-                payload, _ = align_walk_padded(
+                payload, _, fmt = align_walk_padded(
                     q8, t8, dc8, mlen[sel].astype(np.int32),
                     nlen[sel].astype(np.int32), m_cap=cap, n_cap=cap,
                     w_band=band, match=0, mismatch=-1, gap=-1,
@@ -137,13 +138,20 @@ class TpuAlignStage:
                     fixed_b=step if cap >= 5120 else None)
                 if hasattr(payload, "copy_to_host_async"):
                     payload.copy_to_host_async()  # overlap D2H with compute
-                pending.append((sel, cap, band, payload))
-        for sel, cap, band, payload in pending:
+                pending.append((sel, cap, band, fmt, payload))
+        for sel, cap, band, fmt, payload in pending:
             payload = np.asarray(payload)[: len(sel)]
             codes = np.ascontiguousarray(payload[:, :-1])
             escaped = payload[:, -1] != 0
-            ops_flat, ops_off, counts = bindings.opstream_packed_to_ops_batch(
-                codes, walk_steps(cap, cap, band), mlen[sel], nlen[sel], thr)
+            if fmt == "rle":
+                ops_flat, ops_off, counts = bindings.opstream_rle_to_ops_batch(
+                    codes, rle_events(cap, cap, band), mlen[sel], nlen[sel],
+                    thr)
+            else:
+                ops_flat, ops_off, counts = \
+                    bindings.opstream_packed_to_ops_batch(
+                        codes, walk_steps(cap, cap, band), mlen[sel],
+                        nlen[sel], thr)
             for bi, z in enumerate(sel):
                 if escaped[bi]:
                     host.append(z)

@@ -29,7 +29,7 @@ import os
 from ..utils.phred import PHRED_OFFSET
 from .nw_kernel import (align_walk_gather_padded, align_walk_padded,
                         device_put_blob, encode, pack_bits_flat,
-                        pack_codes4_flat, walk_steps, PAD_CODE)
+                        pack_codes4_flat, rle_events, walk_steps, PAD_CODE)
 
 _MOVES_BUDGET = 1 << 30  # HBM bytes for one chunk's packed-move planes
 
@@ -183,24 +183,68 @@ class TpuConsensusStage:
         max_expand = cap
 
         passes = max(1, cfg.refine_passes)
-        remaining = active
-        for ps in range(passes):
-            if not remaining:
-                break
-            final = ps == passes - 1
-            retired = self._one_round(windows, cfg, remaining, st, state,
-                                      max_expand, final, tgs, consensus,
-                                      polished, bindings)
-            logger.bar("[racon::Polisher::polish] generating consensus")
-            if not final and retired:
-                # converged windows were finalized in-round; later rounds
-                # would reproduce their state bit-for-bit, so drop them
-                keep_z = np.array([z for z, w in enumerate(remaining)
-                                   if w not in retired], np.int64)
-                remaining = [remaining[z] for z in keep_z]
-                if remaining:
-                    st = st.subset(keep_z)
-                    state.subset(keep_z)
+
+        # cohort pipelining: split the windows into cohorts whose rounds
+        # interleave, so one cohort's host work (merge + numpy glue, the
+        # other half of the round) runs while the other cohort's device
+        # dispatch is in flight. The reference's fill/process loop plays
+        # this role for its GPU batches (src/cuda/cudapolisher.cpp:83-144).
+        n_coh = 1
+        if (not self.interpret and self._dev_q is None
+                and len(active) >= 256 and passes >= 2):
+            n_coh = 3  # measured best on v5e: 1278/1453/1366 wps at 2/3/4
+        env_coh = os.environ.get("RACON_TPU_COHORTS")
+        if env_coh:
+            n_coh = max(1, min(int(env_coh), len(active)))
+
+        class _Cohort:
+            pass
+
+        cohorts = []
+        bounds = np.linspace(0, len(active), n_coh + 1).astype(int)
+        for ci in range(n_coh):
+            part = active[bounds[ci] : bounds[ci + 1]]
+            if not part:
+                continue
+            co = _Cohort()
+            co.active = part
+            if n_coh == 1:
+                co.st, co.state = st, state
+            else:
+                co.st = st.subset(np.arange(bounds[ci], bounds[ci + 1]))
+                co.state = _RoundState(windows, part, gap)
+            cohorts.append(co)
+
+        pend = [None] * len(cohorts)
+        pass_no = [0] * len(cohorts)
+        for ci, co in enumerate(cohorts):
+            pend[ci] = self._round_dispatch(windows, cfg, co.active, co.st,
+                                            co.state, max_expand, bindings)
+        while any(p is not None for p in pend):
+            for ci, co in enumerate(cohorts):
+                if pend[ci] is None:
+                    continue
+                final = pass_no[ci] == passes - 1
+                retired = self._round_complete(pend[ci], cfg, final, tgs,
+                                               consensus, polished, bindings)
+                pend[ci] = None
+                pass_no[ci] += 1
+                logger.bar("[racon::Polisher::polish] generating consensus")
+                if pass_no[ci] >= passes:
+                    continue
+                if retired:
+                    # converged windows were finalized in-round; later
+                    # rounds would reproduce their state bit-for-bit
+                    keep_z = np.array([z for z, w in enumerate(co.active)
+                                       if w not in retired], np.int64)
+                    co.active = [co.active[z] for z in keep_z]
+                    if co.active:
+                        co.st = co.st.subset(keep_z)
+                        co.state.subset(keep_z)
+                if co.active:
+                    pend[ci] = self._round_dispatch(
+                        windows, cfg, co.active, co.st, co.state, max_expand,
+                        bindings)
         for _ in range(20):
             logger.bar("[racon::Polisher::polish] generating consensus")
         return [c if c is not None else b"" for c in consensus], polished
@@ -209,6 +253,17 @@ class TpuConsensusStage:
 
     def _one_round(self, windows, cfg, active, st, state, max_expand, final,
                    tgs, consensus, polished, bindings):
+        ctx = self._round_dispatch(windows, cfg, active, st, state,
+                                   max_expand, bindings)
+        return self._round_complete(ctx, cfg, final, tgs, consensus,
+                                    polished, bindings)
+
+    def _round_dispatch(self, windows, cfg, active, st, state, max_expand,
+                        bindings):
+        """First half of a refinement round: per-round state prep, tier
+        bucketing, and the (async) device dispatches. Returns the round
+        context consumed by _round_complete — between the two calls the
+        device works while the host is free for another cohort's merge."""
         gap = cfg.gap
         thr = cfg.num_threads
         n_items = st.n_items
@@ -253,6 +308,24 @@ class TpuConsensusStage:
                   & (np.abs(nlen - mlen) <= _margin(wb)))
             tier_id[ok] = ti
 
+        # coalesce small tiers into a compatible bigger used tier: every
+        # device chunk pays a fixed dispatch+fetch round trip (tens of ms on
+        # tethered links), so a few hundred short items are cheaper re-padded
+        # into a bigger tier's batch than as their own dispatch. Promotion
+        # target needs cap >= and band >= (band implies the |n-m| margin).
+        counts = np.bincount(tier_id[tier_id >= 0], minlength=len(tiers))
+        for ti, (cap, wb) in enumerate(tiers):
+            if not 0 < counts[ti] < 1024:
+                continue
+            for tj in range(ti + 1, len(tiers)):
+                cj, wj = tiers[tj]
+                if (cj >= cap and wj >= wb and counts[tj] > 0
+                        and counts[ti] <= counts[tj]):
+                    tier_id[tier_id == ti] = tj
+                    counts[tj] += counts[ti]
+                    counts[ti] = 0
+                    break
+
         cnt = np.zeros(n_items, np.int64)
         results = []  # (item indices, flat ops, per-item src row off, counts)
         host_parts = [np.flatnonzero(tier_id < 0)]
@@ -285,6 +358,7 @@ class TpuConsensusStage:
                         n_cap=cap, w_band=w_band, match=cfg.match,
                         mismatch=cfg.mismatch, gap=gap,
                         interpret=self.interpret, fixed_b=fixed_b)
+                    fmt = "packed2"
                 else:
                     q8 = bindings.pack_rows(st.lay_codes, st.lay_off[sel],
                                             st.lay_off[sel] + mlen[sel], cap,
@@ -293,7 +367,7 @@ class TpuConsensusStage:
                                             t_end[sel], cap, PAD_CODE, thr)
                     dc8 = bindings.pack_rows(del8, t_start[sel], t_end[sel],
                                              cap, gap, thr)
-                    payload, _ = align_walk_padded(
+                    payload, _, fmt = align_walk_padded(
                         q8, t8, dc8, mlen[sel].astype(np.int32),
                         nlen[sel].astype(np.int32), m_cap=cap, n_cap=cap,
                         w_band=w_band, match=cfg.match,
@@ -301,14 +375,51 @@ class TpuConsensusStage:
                         interpret=self.interpret, fixed_b=fixed_b)
                 if hasattr(payload, "copy_to_host_async"):
                     payload.copy_to_host_async()  # overlap D2H with compute
-                pending.append((sel, cap, w_band, payload))
-        for sel, cap, w_band, payload in pending:
+                pending.append((sel, cap, w_band, fmt, payload))
+        return dict(active=active, st=st, state=state, max_expand=max_expand,
+                    n_items=n_items, cur_blob=cur_blob, bb_off=bb_off,
+                    lens=lens, curw_blob=curw_blob, del32=del32, sb=sb,
+                    t_start=t_start, mlen=mlen, nlen=nlen, cnt=cnt,
+                    results=results, host_parts=host_parts, pending=pending)
+
+    def _round_complete(self, ctx, cfg, final, tgs, consensus, polished,
+                        bindings):
+        """Second half of a refinement round: fetch + decode the device
+        payloads, host-realign band escapes, merge the round natively, and
+        replace the cohort's state. Returns the retired (converged) window
+        ids."""
+        gap = cfg.gap
+        thr = cfg.num_threads
+        active = ctx["active"]
+        st = ctx["st"]
+        state = ctx["state"]
+        max_expand = ctx["max_expand"]
+        n_items = ctx["n_items"]
+        cur_blob = ctx["cur_blob"]
+        bb_off = ctx["bb_off"]
+        lens = ctx["lens"]
+        curw_blob = ctx["curw_blob"]
+        del32 = ctx["del32"]
+        sb = ctx["sb"]
+        t_start = ctx["t_start"]
+        mlen = ctx["mlen"]
+        nlen = ctx["nlen"]
+        cnt = ctx["cnt"]
+        results = ctx["results"]
+        host_parts = ctx["host_parts"]
+        for sel, cap, w_band, fmt, payload in ctx["pending"]:
             payload = np.asarray(payload)[: len(sel)]
             codes = np.ascontiguousarray(payload[:, :-1])
             escaped = payload[:, -1] != 0
-            ops_flat, ops_off, counts = bindings.opstream_packed_to_ops_batch(
-                codes, walk_steps(cap, cap, w_band), mlen[sel], nlen[sel],
-                thr)
+            if fmt == "rle":
+                ops_flat, ops_off, counts = bindings.opstream_rle_to_ops_batch(
+                    codes, rle_events(cap, cap, w_band), mlen[sel],
+                    nlen[sel], thr)
+            else:
+                ops_flat, ops_off, counts = \
+                    bindings.opstream_packed_to_ops_batch(
+                        codes, walk_steps(cap, cap, w_band), mlen[sel],
+                        nlen[sel], thr)
             kept = ~escaped
             host_parts.append(sel[escaped])  # band escape -> host realign
             cnt[sel[kept]] = counts[kept]

@@ -397,7 +397,11 @@ def align_walk_padded(q8, t8, dc8, m, n, *, m_cap, n_cap, w_band, match,
     size so a big tier owns exactly ONE compiled shape). When more than one
     device is visible, the batch is sharded over the device mesh
     (parallel/mesh.sharded_align_walk — window/overlap data parallelism).
-    Returns (payload, score) for the PADDED batch; callers slice [:B]."""
+    Returns (payload, score, fmt) for the PADDED batch; callers slice [:B].
+    fmt names the payload format: "rle" (event bytes, decode with
+    bindings.opstream_rle_to_ops_batch against rle_events(...)) on real
+    chips where the transposed kernel fits, else "packed2" (2-bit steps,
+    decode against walk_steps(...))."""
     from ..parallel.mesh import active_mesh, sharded_align_walk
 
     B = q8.shape[0]
@@ -423,14 +427,26 @@ def align_walk_padded(q8, t8, dc8, m, n, *, m_cap, n_cap, w_band, match,
         dcb = np.pad(dcb, ((0, pad), (0, 0)), constant_values=0xFF)
         m = np.pad(np.asarray(m), (0, pad))
         n = np.pad(np.asarray(n), (0, pad))
+    use_rle = (not interpret and t_kernel_fits(m_cap, n_cap, w_band)
+               and bp % B_LANE == 0)
+    fmt = "rle" if use_rle else "packed2"
     if mesh is not None:
-        return sharded_align_walk(
+        payload, score = sharded_align_walk(
             mesh, q4, t4, dcb, np.asarray(m, np.int32),
             np.asarray(n, np.int32), m_cap=m_cap, n_cap=n_cap, w_band=w_band,
-            match=match, mismatch=mismatch, gap=gap, interpret=interpret)
-    return align_walk_batch(q4, t4, dcb, m, n, m_cap=m_cap, n_cap=n_cap,
-                            w_band=w_band, match=match, mismatch=mismatch,
-                            gap=gap, interpret=interpret)
+            match=match, mismatch=mismatch, gap=gap, interpret=interpret,
+            rle=use_rle)
+        return payload, score, fmt
+    if use_rle:
+        payload, score = align_walk_rle_batch(
+            q4, t4, dcb, np.asarray(m, np.int32), np.asarray(n, np.int32),
+            m_cap=m_cap, n_cap=n_cap, w_band=w_band, match=match,
+            mismatch=mismatch, gap=gap)
+        return payload, score, fmt
+    payload, score = align_walk_batch(
+        q4, t4, dcb, m, n, m_cap=m_cap, n_cap=n_cap, w_band=w_band,
+        match=match, mismatch=mismatch, gap=gap, interpret=interpret)
+    return payload, score, fmt
 
 
 # ---------------------------------------------------------------------- #
@@ -609,6 +625,136 @@ def walk_moves_device_t(moves, m, n, *, m_cap, n_cap, w_band, max_steps,
     quads = outs.astype(jnp.uint8).reshape(max_steps // 4, 4, B)
     shifts = (2 * jnp.arange(4, dtype=jnp.uint8))[None, :, None]
     return jnp.sum(quads << shifts, axis=1, dtype=jnp.uint8).T, escaped
+
+
+# ---------------------------------------------------------------------- #
+# RLE traceback walk: one emitted byte per EVENT instead of per step.
+# Diagonal (match/mismatch) steps at one band lane k share the packed move
+# word (16 query rows per int32), so a run of them can be consumed with a
+# single gather; indels change lanes and stay single-step. Measured on the
+# consensus workload the walk does ~2.7x fewer iterations for the same D2H
+# budget (mean path ~435 steps vs ~100 events).
+# ---------------------------------------------------------------------- #
+
+RLE_SKIP = 0    # finished / escaped filler
+RLE_UP = 201    # one insertion step (query-consuming)
+RLE_LEFT = 202  # one deletion step (target-consuming)
+# values 1..16 = run of that many diagonal steps
+
+
+def rle_events(m_cap: int, n_cap: int, w_band: int) -> int:
+    """Event budget for the RLE walk: same D2H bytes as the 2-bit packed
+    stream (walk_steps/4). Typical windows use well under half of it;
+    busier walks overflow, are flagged escaped, and realign on the host
+    (bit-identical scoring), so a tight budget is safe."""
+    return max(walk_steps(m_cap, n_cap, w_band) // 4, 64)
+
+
+@functools.partial(jax.jit, static_argnames=("m_cap", "n_cap", "w_band",
+                                             "max_events"))
+def walk_moves_rle_t(moves, m, n, *, m_cap, n_cap, w_band, max_events):
+    """RLE walk over the transposed move layout (slots, W, B).
+
+    Returns (events (B, max_events) uint8 emitted BACKWARD from (m, n),
+    escaped (B,) bool). Event bytes: RLE_SKIP, 1..16 diagonal run,
+    RLE_UP / RLE_LEFT single indel steps. Decoded by the host's
+    rt_opstream_rle_to_ops_batch into the same forward op lists as the
+    2-bit stream decoder."""
+    B = moves.shape[2]
+    W = w_band
+    dlo = band_dlo(m_cap, n_cap, W)
+    mflat = moves.reshape(-1, B)
+    m = m.astype(jnp.int32)
+    n = n.astype(jnp.int32)
+
+    def step(carry):
+        i, j, escaped = carry
+        at_origin = (i == 0) & (j == 0)
+        interior = (i > 0) & (j > 0)
+        row = jnp.maximum(i - 1, 0)
+        k = j - i - dlo
+        widx = (row // _PACK) * W + jnp.clip(k, 0, W - 1)
+        word = jnp.take_along_axis(mflat, widx[None, :], axis=0)[0]
+        p = row % _PACK
+        mv = (word >> (2 * p)) & 3
+        mv = jnp.where(i == 0, 2, mv)
+        mv = jnp.where((j == 0) & (i > 0), 1, mv)
+        inband = (k >= 0) & (k < W)
+        esc = escaped | (~at_origin & interior & (~inband | (mv == 3)))
+        # diagonal run: consecutive zero 2-bit groups from group p downward
+        # (rows row, row-1, ... at the same lane k). Count via leading-zero
+        # binary search on the word shifted so group p sits at the top.
+        z = (word.astype(jnp.uint32)) << (2 * (_PACK - 1 - p)).astype(
+            jnp.uint32)
+        nlz = jnp.zeros_like(z, jnp.int32)
+        for sh, thr_ in ((16, 0x0000FFFF), (8, 0x00FFFFFF), (4, 0x0FFFFFFF),
+                         (2, 0x3FFFFFFF), (1, 0x7FFFFFFF)):
+            take = z <= jnp.uint32(thr_)
+            nlz = nlz + jnp.where(take, sh, 0)
+            if sh > 1:
+                z = jnp.where(take, z << jnp.uint32(sh), z)
+        d = jnp.minimum(nlz >> 1, p + 1)           # run within this word
+        d = jnp.where(interior & ~esc, jnp.minimum(d, jnp.minimum(i, j)), 0)
+        single = jnp.where(mv == 1, RLE_UP, jnp.where(mv == 2, RLE_LEFT, 0))
+        out = jnp.where(d > 0, d, single)
+        out = jnp.where(esc | at_origin, RLE_SKIP, out).astype(jnp.uint8)
+        di = jnp.where(esc | at_origin, 0,
+                       jnp.where(d > 0, d, jnp.where(mv == 1, 1, 0)))
+        dj = jnp.where(esc | at_origin, 0,
+                       jnp.where(d > 0, d, jnp.where(mv == 2, 1, 0)))
+        return (i - di, j - dj, esc), out
+
+    buf0 = jnp.full((max_events, B), RLE_SKIP, jnp.uint8)
+
+    def cond(carry):
+        s, i, j, escaped, _ = carry
+        return (s < max_events) & jnp.any(((i != 0) | (j != 0)) & ~escaped)
+
+    def body(carry):
+        s, i, j, escaped, buf = carry
+        (i2, j2, esc2), out = step((i, j, escaped))
+        buf = jax.lax.dynamic_update_slice(buf, out[None, :], (s, 0))
+        return (s + 1, i2, j2, esc2, buf)
+
+    init = (jnp.int32(0), m, n, jnp.zeros((B,), bool), buf0)
+    _, fi, fj, escaped, outs = jax.lax.while_loop(cond, body, init)
+    escaped = escaped | (fi != 0) | (fj != 0)  # budget overflow -> fallback
+    return outs.T, escaped
+
+
+def align_walk_packed_core_rle_t(q4, t4, dcb, m, n, *, m_cap, n_cap, w_band,
+                                 match, mismatch, gap):
+    """align_walk_packed_core_t with the RLE walk: payload is
+    (B, rle_events(...) + 1) uint8 — event bytes plus the escape flag."""
+    B = q4.shape[0]
+    W = w_band
+    q8 = unpack_codes4(q4, m_cap)
+    t8 = unpack_codes4(t4, n_cap)
+    dc = unpack_delbits(dcb, n_cap, gap)
+    qT = q8.T.astype(jnp.int32)
+    tpT = jnp.pad(t8.T.astype(jnp.int32), ((W, W), (0, 0)),
+                  constant_values=PAD_CODE)
+    gc = jnp.pad(jnp.cumsum(dc.T, axis=0), ((1, 0), (0, 0)))
+    gcpT = jnp.concatenate([jnp.zeros((W, B), jnp.int32), gc,
+                            jnp.broadcast_to(gc[-1:], (W, B))])
+    moves, score = nw_band_batch_t(qT, tpT, gcpT, m_cap=m_cap, n_cap=n_cap,
+                                   w_band=W, match=match, mismatch=mismatch,
+                                   gap=gap)
+    events, escaped = walk_moves_rle_t(
+        moves, m, n, m_cap=m_cap, n_cap=n_cap, w_band=W,
+        max_events=rle_events(m_cap, n_cap, W))
+    payload = jnp.concatenate([events, escaped[:, None].astype(jnp.uint8)],
+                              axis=1)
+    return payload, score.T
+
+
+@functools.partial(jax.jit, static_argnames=("m_cap", "n_cap", "w_band",
+                                             "match", "mismatch", "gap"))
+def align_walk_rle_batch(q4, t4, dcb, m, n, *, m_cap, n_cap, w_band, match,
+                         mismatch, gap):
+    return align_walk_packed_core_rle_t(
+        q4, t4, dcb, m, n, m_cap=m_cap, n_cap=n_cap, w_band=w_band,
+        match=match, mismatch=mismatch, gap=gap)
 
 
 # ---------------------------------------------------------------------- #

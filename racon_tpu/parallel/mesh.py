@@ -32,8 +32,9 @@ except ImportError:  # pragma: no cover - older jax
 
 from ..ops.nw_kernel import (align_walk_gather_core, align_walk_gather_core_t,
                              align_walk_packed_core, align_walk_packed_core_t,
-                             nw_band_batch, nw_band_batch_ref,
-                             t_kernel_fits, walk_moves_device, B_LANE)
+                             align_walk_packed_core_rle_t, nw_band_batch,
+                             nw_band_batch_ref, t_kernel_fits,
+                             walk_moves_device, B_LANE)
 
 
 def _nw_impl(interpret):
@@ -113,7 +114,8 @@ _sharded_cache: dict = {}
 
 
 def sharded_align_walk(mesh: Mesh, q4, t4, dcb, m, n, *, m_cap, n_cap,
-                       w_band, match, mismatch, gap, interpret=False):
+                       w_band, match, mismatch, gap, interpret=False,
+                       rle=False):
     """The production fused align+walk dispatch with the batch dimension
     sharded over the mesh — each chip unpacks + runs the single-chip Pallas
     kernel on its shard; no cross-chip communication (pure window/overlap
@@ -122,15 +124,21 @@ def sharded_align_walk(mesh: Mesh, q4, t4, dcb, m, n, *, m_cap, n_cap,
     (nw_kernel.pack_codes4 / pack_delbits); the batch must be a multiple of
     the mesh size (align_walk_padded arranges both)."""
     key = (tuple(mesh.devices.flat), m_cap, n_cap, w_band, match, mismatch,
-           gap, interpret)
+           gap, interpret, rle)
     fn = _sharded_cache.get(key)
     if fn is None:
         impl = _nw_impl(interpret)
 
         def local(q4s, t4s, dcbs, ms, ns):
             # shapes are trace-time constants, so this picks per batch shape
-            if (not interpret and t_kernel_fits(m_cap, n_cap, w_band)
-                    and q4s.shape[0] % B_LANE == 0):
+            eligible = (not interpret and t_kernel_fits(m_cap, n_cap, w_band)
+                        and q4s.shape[0] % B_LANE == 0)
+            if rle:
+                assert eligible, "rle payloads need the transposed kernel"
+                return align_walk_packed_core_rle_t(
+                    q4s, t4s, dcbs, ms, ns, m_cap=m_cap, n_cap=n_cap,
+                    w_band=w_band, match=match, mismatch=mismatch, gap=gap)
+            if eligible:
                 # real chips run the transposed (sublane-band) kernel
                 return align_walk_packed_core_t(
                     q4s, t4s, dcbs, ms, ns, m_cap=m_cap, n_cap=n_cap,
