@@ -73,6 +73,12 @@ def _configure(lib: C.CDLL) -> C.CDLL:
         _u8p, C.c_int64, C.c_int64, C.c_int32, _i32p, _i64p, _i64p]
     lib.rt_pack_rows.argtypes = [
         _u8p, _i64p, _i64p, C.c_int64, C.c_int64, C.c_uint8, _u8p, C.c_int32]
+    lib.rt_pack_rows_nib.argtypes = [
+        _u8p, _i64p, _i64p, C.c_int64, C.c_int64, C.c_uint8, _u8p, C.c_int32]
+    lib.rt_pack_rows_bits.argtypes = [
+        _u8p, _i64p, _i64p, C.c_int64, C.c_int64, _u8p, C.c_int32]
+    lib.rt_gather_ranges.argtypes = [
+        _u8p, C.c_int64, _i64p, _i64p, _i64p, C.c_int64, _u8p, C.c_int32]
     lib.rt_poa_round_batch.argtypes = [
         C.c_int64, _u8p, _i64p, _i32p, _i64p, _u8p, _i64p, _i32p, _i32p,
         _i32p, _i64p, C.c_int32, C.c_int32, C.c_int32, C.c_int32, C.c_double,
@@ -411,6 +417,56 @@ def pack_rows(blob, starts, ends, cap, fill, n_threads, dtype=np.int8):
                      np.uint8(fill & 0xFF if isinstance(fill, int) else fill),
                      out, n_threads)
     return out.view(dtype)
+
+
+def pack_rows_nib(blob, starts, ends, cap, fill, n_threads):
+    """pack_rows fused with the nibble uplink packing: returns the
+    (B, cap//2) uint8 matrix nw_kernel.pack_codes4 would produce, in one
+    native pass."""
+    lib = get_lib()
+    B = len(starts)
+    out = np.empty((B, cap // 2), np.uint8)
+    lib.rt_pack_rows_nib(_as_u8(blob.view(np.uint8)),
+                         np.ascontiguousarray(starts, np.int64),
+                         np.ascontiguousarray(ends, np.int64), B, cap,
+                         np.uint8(fill), out, n_threads)
+    return out
+
+
+def pack_rows_bits(blob, starts, ends, cap, n_threads):
+    """pack_rows fused with the deletion-cost bitmask packing: returns the
+    (B, cap//8) uint8 matrix nw_kernel.pack_delbits would produce (bit set
+    iff the cost byte is nonzero; pad bits set)."""
+    lib = get_lib()
+    B = len(starts)
+    out = np.empty((B, cap // 8), np.uint8)
+    lib.rt_pack_rows_bits(_as_u8(blob.view(np.uint8)),
+                          np.ascontiguousarray(starts, np.int64),
+                          np.ascontiguousarray(ends, np.int64), B, cap,
+                          out, n_threads)
+    return out
+
+
+def gather_ranges(src, starts, lens, n_threads, dst=None, dst_off=None):
+    """Threaded ranged gather: concatenate src[starts[i] : starts[i]+lens[i])
+    slices. With dst/dst_off, scatter the ranges into an existing array at
+    element offsets dst_off instead (returns dst). Replaces
+    flat-index-array numpy gathers in the stage hot loops."""
+    lib = get_lib()
+    src = np.ascontiguousarray(src)
+    lens = np.ascontiguousarray(lens, np.int64)
+    if dst is None:
+        dst_off = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=dst_off[1:])
+        shape = (int(dst_off[-1]),) + src.shape[1:]
+        dst = np.empty(shape, src.dtype)
+    elem = src.dtype.itemsize * int(np.prod(src.shape[1:], dtype=np.int64))
+    lib.rt_gather_ranges(
+        _as_u8(src.reshape(-1).view(np.uint8)), elem,
+        np.ascontiguousarray(starts, np.int64), lens,
+        np.ascontiguousarray(dst_off, np.int64), len(lens),
+        _as_u8(dst.reshape(-1).view(np.uint8)), n_threads)
+    return dst
 
 
 def poa_round_batch(cur_blob, cur_off, curw_blob, layer_off, lay_blob,

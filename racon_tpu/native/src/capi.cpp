@@ -530,6 +530,82 @@ void rt_pack_rows(const uint8_t* blob, const int64_t* starts,
     });
 }
 
+// same, but writes the nibble-packed uplink form directly: out row i is
+// (cap/2) bytes, byte k = code[2k] | code[2k+1] << 4 (codes are 0..5 so a
+// nibble holds them; pad fills with `fill`). One pass instead of
+// pack_rows + a numpy repack, and half the bytes written.
+void rt_pack_rows_nib(const uint8_t* blob, const int64_t* starts,
+                      const int64_t* ends, int64_t n_rows, int64_t cap,
+                      uint8_t fill, uint8_t* out, int32_t n_threads) {
+    const int64_t w = cap / 2;
+    const uint8_t fill2 = static_cast<uint8_t>(fill | (fill << 4));
+    rt::parallel_for(n_rows, n_threads, [&](int64_t i, int32_t) {
+        uint8_t* dst = out + i * w;
+        const uint8_t* src = blob + starts[i];
+        int64_t len = ends[i] - starts[i];
+        if (len > cap) len = cap;
+        const int64_t full = len / 2;
+        for (int64_t k = 0; k < full; ++k) {
+            dst[k] = static_cast<uint8_t>(src[2 * k] | (src[2 * k + 1] << 4));
+        }
+        int64_t k = full;
+        if (len & 1) {
+            dst[k] = static_cast<uint8_t>(src[len - 1] | (fill << 4));
+            ++k;
+        }
+        if (k < w) std::memset(dst + k, fill2, w - k);
+    });
+}
+
+// bitmask row packer: out row i is (cap/8) bytes, bit k set iff the cost
+// byte at blob[starts[i]+k] is nonzero; pad bits are set (pad columns cost
+// the full gap, matching nw_kernel.pack_delbits semantics)
+void rt_pack_rows_bits(const uint8_t* blob, const int64_t* starts,
+                       const int64_t* ends, int64_t n_rows, int64_t cap,
+                       uint8_t* out, int32_t n_threads) {
+    const int64_t w = cap / 8;
+    rt::parallel_for(n_rows, n_threads, [&](int64_t i, int32_t) {
+        uint8_t* dst = out + i * w;
+        const uint8_t* src = blob + starts[i];
+        int64_t len = ends[i] - starts[i];
+        if (len > cap) len = cap;
+        const int64_t full = len / 8;
+        for (int64_t k = 0; k < full; ++k) {
+            uint8_t b = 0;
+            for (int u = 0; u < 8; ++u) {
+                b |= (src[8 * k + u] != 0) << u;
+            }
+            dst[k] = b;
+        }
+        int64_t k = full;
+        if (len & 7) {
+            uint8_t b = 0;
+            for (int64_t u = 0; u < 8; ++u) {
+                const int64_t p = 8 * k + u;
+                b |= (p >= len || src[p] != 0) << u;
+            }
+            dst[k] = b;
+            ++k;
+        }
+        if (k < w) std::memset(dst + k, 0xFF, w - k);
+    });
+}
+
+// threaded ranged gather: dst[dst_off[i] .. +lens[i]) = src[starts[i] ..)
+// in elements of `elem` bytes — replaces numpy flat-index-array gathers
+// (which materialize a full index vector) in the stage hot loops
+void rt_gather_ranges(const uint8_t* src, int64_t elem,
+                      const int64_t* starts, const int64_t* lens,
+                      const int64_t* dst_off, int64_t n, uint8_t* dst,
+                      int32_t n_threads) {
+    rt::parallel_for(n, n_threads, [&](int64_t i, int32_t) {
+        if (lens[i] > 0) {
+            std::memcpy(dst + dst_off[i] * elem, src + starts[i] * elem,
+                        lens[i] * elem);
+        }
+    });
+}
+
 }  // extern "C"
 
 extern "C" {

@@ -75,6 +75,10 @@ def _concat_off(parts: list[np.ndarray]):
     return blob, off
 
 
+def _nthr() -> int:
+    return os.cpu_count() or 2
+
+
 def _flat_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """Flat index array covering [starts[i], starts[i]+lens[i]) per i —
     the vectorized replacement for per-item slice loops. Uses int32 when
@@ -360,19 +364,21 @@ class TpuConsensusStage:
                         interpret=self.interpret, fixed_b=fixed_b)
                     fmt = "packed2"
                 else:
-                    q8 = bindings.pack_rows(st.lay_codes, st.lay_off[sel],
-                                            st.lay_off[sel] + mlen[sel], cap,
-                                            PAD_CODE, thr)
-                    t8 = bindings.pack_rows(cur_enc, t_start[sel],
-                                            t_end[sel], cap, PAD_CODE, thr)
-                    dc8 = bindings.pack_rows(del8, t_start[sel], t_end[sel],
-                                             cap, gap, thr)
+                    q4 = bindings.pack_rows_nib(
+                        st.lay_codes, st.lay_off[sel],
+                        st.lay_off[sel] + mlen[sel], cap, PAD_CODE, thr)
+                    t4 = bindings.pack_rows_nib(cur_enc, t_start[sel],
+                                                t_end[sel], cap, PAD_CODE,
+                                                thr)
+                    dcb = bindings.pack_rows_bits(del8, t_start[sel],
+                                                  t_end[sel], cap, thr)
                     payload, _, fmt = align_walk_padded(
-                        q8, t8, dc8, mlen[sel].astype(np.int32),
+                        q4, t4, dcb, mlen[sel].astype(np.int32),
                         nlen[sel].astype(np.int32), m_cap=cap, n_cap=cap,
                         w_band=w_band, match=cfg.match,
                         mismatch=cfg.mismatch, gap=gap,
-                        interpret=self.interpret, fixed_b=fixed_b)
+                        interpret=self.interpret, fixed_b=fixed_b,
+                        prepacked=True)
                 if hasattr(payload, "copy_to_host_async"):
                     payload.copy_to_host_async()  # overlap D2H with compute
                 pending.append((sel, cap, w_band, fmt, payload))
@@ -435,7 +441,8 @@ class TpuConsensusStage:
             np.cumsum(hm, out=qoff[1:])
             toff = np.zeros(len(host_idx) + 1, np.int64)
             np.cumsum(hn, out=toff[1:])
-            qblob = st.lay_blob[_flat_ranges(st.lay_off[host_idx], hm)]
+            qblob = bindings.gather_ranges(st.lay_blob, st.lay_off[host_idx],
+                                           hm, thr)
             tsel = _flat_ranges(t_start[host_idx], hn)
             ops_flat, ops_off, counts = bindings.align_batch_percol(
                 qblob, qoff, cur_blob[tsel], toff, del32[tsel], cfg.match,
@@ -450,8 +457,8 @@ class TpuConsensusStage:
         ops_blob = np.empty((int(ops_off2[-1]), 2), np.int32)
         for idxs, flat, soff, scnt in results:
             if len(idxs):
-                dst = _flat_ranges(ops_off2[idxs], scnt)
-                ops_blob[dst] = flat[_flat_ranges(soff, scnt)]
+                bindings.gather_ranges(flat, soff, scnt, thr, dst=ops_blob,
+                                       dst_off=ops_off2[idxs])
         capacity = 2 * lens + 512
         out_blob, out_off, out_len, out_del, out_slots, out_pol = \
             bindings.poa_round_batch(
@@ -475,10 +482,11 @@ class TpuConsensusStage:
         # vectorized state replacement: gather the merge outputs into fresh
         # flat blobs, compose slots through to original coordinates
         new_len = out_len.astype(np.int64)
-        gsel = _flat_ranges(out_off[:n_act], new_len)
-        new_cur = out_blob[gsel]
-        new_del = out_del[gsel]
-        local = out_slots[gsel].astype(np.int64)
+        starts = out_off[:n_act]
+        new_cur = bindings.gather_ranges(out_blob, starts, new_len, thr)
+        new_del = bindings.gather_ranges(out_del, starts, new_len, thr)
+        local = bindings.gather_ranges(out_slots, starts, new_len,
+                                       thr).astype(np.int64)
         wz_e = np.repeat(np.arange(n_act, dtype=np.int64), new_len)
         new_slots = state.slots[bb_off[wz_e]
                                 + np.minimum(local, lens[wz_e] - 1)]
@@ -495,11 +503,13 @@ class TpuConsensusStage:
         cz = np.flatnonzero(cand)
         if len(cz):
             clens = new_len[cz]
-            old_sel = _flat_ranges(bb_off[cz], clens)
-            new_sel = _flat_ranges(new_off[cz], clens)
-            eq = ((state.cur[old_sel] == new_cur[new_sel])
-                  & (state.dcost[old_sel] == new_del[new_sel])
-                  & (state.slots[old_sel] == new_slots[new_sel]))
+            g = bindings.gather_ranges
+            eq = ((g(state.cur, bb_off[cz], clens, thr)
+                   == g(new_cur, new_off[cz], clens, thr))
+                  & (g(state.dcost, bb_off[cz], clens, thr)
+                     == g(new_del, new_off[cz], clens, thr))
+                  & (g(state.slots, bb_off[cz], clens, thr)
+                     == g(new_slots, new_off[cz], clens, thr)))
             seg = np.zeros(len(cz), np.int64)
             np.cumsum(clens[:-1], out=seg[1:])
             allmask = np.logical_and.reduceat(eq, seg)
@@ -522,7 +532,8 @@ class TpuConsensusStage:
                                 st.item_off[zarr + 1] - st.item_off[zarr])
             # converged: old state == new state, so slice the new blobs
             czlen = new_len[zarr]
-            cur_blob2 = new_cur[_flat_ranges(new_off[zarr], czlen)]
+            cur_blob2 = bindings.gather_ranges(new_cur, new_off[zarr], czlen,
+                                               thr)
             bb_off2 = np.zeros(len(zarr) + 1, np.int64)
             np.cumsum(czlen, out=bb_off2[1:])
             curw2 = np.zeros(len(cur_blob2), np.int32)
@@ -532,13 +543,15 @@ class TpuConsensusStage:
             klen = st.lay_len[ksel]
             lay_off2 = np.zeros(len(ksel) + 1, np.int64)
             np.cumsum(klen, out=lay_off2[1:])
-            lsel = _flat_ranges(st.lay_off[ksel], klen)
-            lay_blob2 = st.lay_blob[lsel]
-            layw2 = st.layw_blob[lsel]
+            lay_blob2 = bindings.gather_ranges(st.lay_blob, st.lay_off[ksel],
+                                               klen, thr)
+            layw2 = bindings.gather_ranges(st.layw_blob, st.lay_off[ksel],
+                                           klen, thr)
             kcnt = cnt[ksel]
             ops_off2b = np.zeros(len(ksel) + 1, np.int64)
             np.cumsum(kcnt, out=ops_off2b[1:])
-            ops2 = ops_blob[_flat_ranges(ops_off2[ksel], kcnt)]
+            ops2 = bindings.gather_ranges(ops_blob, ops_off2[ksel], kcnt,
+                                          thr)
             out_blob2, out_off2, out_len2, _, _, out_pol2 = \
                 bindings.poa_round_batch(
                     cur_blob2, bb_off2, curw2, item_off2, lay_blob2,
@@ -633,10 +646,14 @@ class _StaticItems:
         np.cumsum(klen, out=s.lay_off[1:])
         s.lay_len = klen
         s.lay_start_dev = self.lay_start_dev[ksel]
-        lsel = _flat_ranges(self.lay_off[ksel], klen)
-        s.lay_blob = self.lay_blob[lsel]
-        s.lay_codes = self.lay_codes[lsel]
-        s.layw_blob = self.layw_blob[lsel]
+        from ..native import bindings
+        starts = self.lay_off[ksel]
+        s.lay_blob = bindings.gather_ranges(self.lay_blob, starts, klen,
+                                            _nthr())
+        s.lay_codes = bindings.gather_ranges(self.lay_codes, starts, klen,
+                                             _nthr())
+        s.layw_blob = bindings.gather_ranges(self.layw_blob, starts, klen,
+                                             _nthr())
         s.win_id = self.win_id[keep_z]
         s.win_rank = self.win_rank[keep_z]
         return s
@@ -667,12 +684,14 @@ class _RoundState:
 
     def subset(self, keep_z: np.ndarray) -> None:
         """Drop retired windows in place (indices into the active list)."""
+        from ..native import bindings
         lens = np.diff(self.off)[keep_z]
-        sel = _flat_ranges(self.off[keep_z], lens)
-        self.cur = self.cur[sel]
-        self.w = self.w[sel]
-        self.dcost = self.dcost[sel]
-        self.slots = self.slots[sel]
+        starts = self.off[keep_z]
+        thr = _nthr()
+        self.cur = bindings.gather_ranges(self.cur, starts, lens, thr)
+        self.w = bindings.gather_ranges(self.w, starts, lens, thr)
+        self.dcost = bindings.gather_ranges(self.dcost, starts, lens, thr)
+        self.slots = bindings.gather_ranges(self.slots, starts, lens, thr)
         self.off = np.zeros(len(keep_z) + 1, np.int64)
         np.cumsum(lens, out=self.off[1:])
         self.has_w = self.has_w[keep_z]

@@ -387,9 +387,13 @@ def align_walk_batch(q4, t4, dcb, m, n, *, m_cap, n_cap, w_band, match,
 
 
 def align_walk_padded(q8, t8, dc8, m, n, *, m_cap, n_cap, w_band, match,
-                      mismatch, gap, interpret=False, fixed_b=None):
+                      mismatch, gap, interpret=False, fixed_b=None,
+                      prepacked=False):
     """Batch-size-canonicalizing wrapper around align_walk_batch: packs the
-    uplink (nibble codes + deletion-cost bitmask) and pads the batch up to
+    uplink (nibble codes + deletion-cost bitmask; with prepacked=True the
+    callers already hold the packed forms — q8/t8 (B, cap//2) nibble rows
+    and dc8 (B, cap//8) bitmask rows, e.g. from the fused native packers
+    bindings.pack_rows_nib / pack_rows_bits) and pads the batch up to
     the next power of two (min 16) with all-PAD items so the set of
     compiled XLA programs stays tiny — jit/compile-cache keys include the
     batch dimension, and a fresh big-tier compile costs tens of seconds.
@@ -417,9 +421,12 @@ def align_walk_padded(q8, t8, dc8, m, n, *, m_cap, n_cap, w_band, match,
     lane_unit = B_TILE if interpret else B_LANE
     unit = (mesh.devices.size if mesh is not None else 1) * lane_unit
     bp = -(-bp // unit) * unit
-    q4 = pack_codes4(q8)
-    t4 = pack_codes4(t8)
-    dcb = pack_delbits(dc8)
+    if prepacked:
+        q4, t4, dcb = q8, t8, dc8
+    else:
+        q4 = pack_codes4(q8)
+        t4 = pack_codes4(t8)
+        dcb = pack_delbits(dc8)
     if bp != B:
         pad = bp - B
         q4 = np.pad(q4, ((0, pad), (0, 0)), constant_values=0x55)  # PAD|PAD
