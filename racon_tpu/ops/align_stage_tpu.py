@@ -62,38 +62,38 @@ class TpuAlignStage:
         from ..native import bindings
 
         # materialize the aligned slices (reference: src/overlap.cpp:192-197)
-        slices = []
-        meta = {k: np.zeros(len(indices), np.int64)
-                for k in ("q_begin", "q_end", "q_length", "t_begin", "t_end")}
-        strand = np.zeros(len(indices), np.uint8)
-        for z, i in enumerate(indices):
-            qid = int(overlaps.q_id[i])
-            s = bool(overlaps.strand[i])
-            qb, qe = int(overlaps.q_begin[i]), int(overlaps.q_end[i])
-            qlen = int(overlaps.q_length[i])
-            tb, te = int(overlaps.t_begin[i]), int(overlaps.t_end[i])
-            if s:
-                qarr = sequences.reverse_complement(qid)[qlen - qe : qlen - qb]
-            else:
-                qarr = sequences.data(qid)[qb:qe]
-            tarr = sequences.data(int(overlaps.t_id[i]))[tb:te]
-            slices.append((qarr, tarr))
-            strand[z] = 1 if s else 0
-            meta["q_begin"][z] = qb
-            meta["q_end"][z] = qe
-            meta["q_length"][z] = qlen
-            meta["t_begin"][z] = tb
-            meta["t_end"][z] = te
-
-        # flat columnar layout: one blob per side, encoded once, packed into
-        # the dense device matrices by the threaded native packer
+        # in flat columnar form: strand slices read the (prepared) revcomp
+        # blob, forward slices the store blob — one threaded ranged gather
+        # per side, no per-overlap python
         thr = self.cfg.num_threads
-        qblob_raw, qoff_all = _concat_off([s[0] for s in slices])
-        tblob_raw, toff_all = _concat_off([s[1] for s in slices])
+        idx = np.asarray(indices, np.int64)
+        qid = np.asarray(overlaps.q_id)[idx]
+        strand = np.asarray(overlaps.strand)[idx].astype(np.uint8)
+        qb = np.asarray(overlaps.q_begin)[idx].astype(np.int64)
+        qe = np.asarray(overlaps.q_end)[idx].astype(np.int64)
+        qlen_full = np.asarray(overlaps.q_length)[idx].astype(np.int64)
+        tb = np.asarray(overlaps.t_begin)[idx].astype(np.int64)
+        te = np.asarray(overlaps.t_end)[idx].astype(np.int64)
+        tid = np.asarray(overlaps.t_id)[idx]
+        meta = {"q_begin": qb, "q_end": qe, "q_length": qlen_full,
+                "t_begin": tb, "t_end": te}
+        rc_blob, rc_start = sequences.rc_arrays()
+        src = np.concatenate([sequences.blob, rc_blob])
+        qstart = np.where(
+            strand != 0,
+            len(sequences.blob) + rc_start[qid] + qlen_full - qe,
+            sequences.data_off[qid] + qb)
+        mlen = qe - qb
+        nlen = te - tb
+        tstart = sequences.data_off[tid] + tb
+        qblob_raw = bindings.gather_ranges(src, qstart, mlen, thr)
+        tblob_raw = bindings.gather_ranges(sequences.blob, tstart, nlen, thr)
+        qoff_all = np.zeros(len(idx) + 1, np.int64)
+        np.cumsum(mlen, out=qoff_all[1:])
+        toff_all = np.zeros(len(idx) + 1, np.int64)
+        np.cumsum(nlen, out=toff_all[1:])
         qenc = encode(qblob_raw).astype(np.int8)
         tenc = encode(tblob_raw).astype(np.int8)
-        mlen = np.diff(qoff_all)
-        nlen = np.diff(toff_all)
 
         # bucket by the canonical tiers; |n - m| must fit well within band.
         # --band-width N sets a minimum device band (reference:
@@ -121,21 +121,22 @@ class TpuAlignStage:
             step = _chunk_size(cap, band)
             for c0 in range(0, len(members), step):
                 sel = members[c0 : c0 + step]
-                q8 = bindings.pack_rows(qenc, qoff_all[sel],
-                                        qoff_all[sel] + mlen[sel], cap,
-                                        PAD_CODE, thr)
-                t8 = bindings.pack_rows(tenc, toff_all[sel],
-                                        toff_all[sel] + nlen[sel], cap,
-                                        PAD_CODE, thr)
-                dc8 = np.full((len(sel), cap), -1, np.int8)
+                q4 = bindings.pack_rows_nib(qenc, qoff_all[sel],
+                                            qoff_all[sel] + mlen[sel], cap,
+                                            PAD_CODE, thr)
+                t4 = bindings.pack_rows_nib(tenc, toff_all[sel],
+                                            toff_all[sel] + nlen[sel], cap,
+                                            PAD_CODE, thr)
+                # unit deletion costs everywhere: an all-ones bitmask
+                dcb = np.full((len(sel), cap // 8), 0xFF, np.uint8)
                 payload, _, fmt = align_walk_padded(
-                    q8, t8, dc8, mlen[sel].astype(np.int32),
+                    q4, t4, dcb, mlen[sel].astype(np.int32),
                     nlen[sel].astype(np.int32), m_cap=cap, n_cap=cap,
                     w_band=band, match=0, mismatch=-1, gap=-1,
                     interpret=self.interpret,
                     # one compiled shape per big tier: a fresh big-tier
                     # compile costs minutes, padding a short chunk does not
-                    fixed_b=step if cap >= 5120 else None)
+                    fixed_b=step if cap >= 5120 else None, prepacked=True)
                 if hasattr(payload, "copy_to_host_async"):
                     payload.copy_to_host_async()  # overlap D2H with compute
                 pending.append((sel, cap, band, fmt, payload))
@@ -162,15 +163,15 @@ class TpuAlignStage:
             logger.bar("[racon::Polisher::initialize] aligning overlaps")
 
         if host:
-            qoff = np.zeros(len(host) + 1, np.int64)
-            toff = np.zeros(len(host) + 1, np.int64)
-            for z2, z in enumerate(host):
-                qoff[z2 + 1] = qoff[z2] + len(slices[z][0])
-                toff[z2 + 1] = toff[z2] + len(slices[z][1])
-            qblob = (np.concatenate([slices[z][0] for z in host])
-                     if qoff[-1] else np.zeros(0, np.uint8))
-            tblob = (np.concatenate([slices[z][1] for z in host])
-                     if toff[-1] else np.zeros(0, np.uint8))
+            hz = np.asarray(host, np.int64)
+            hm = mlen[hz]
+            hn = nlen[hz]
+            qoff = np.zeros(len(hz) + 1, np.int64)
+            np.cumsum(hm, out=qoff[1:])
+            toff = np.zeros(len(hz) + 1, np.int64)
+            np.cumsum(hn, out=toff[1:])
+            qblob = bindings.gather_ranges(qblob_raw, qoff_all[hz], hm, thr)
+            tblob = bindings.gather_ranges(tblob_raw, toff_all[hz], hn, thr)
             ops_flat, ops_off, counts = bindings.align_batch(
                 qblob, qoff, tblob, toff, 0, -1, -1, True,
                 self.cfg.num_threads)

@@ -607,20 +607,29 @@ class _StaticItems:
         # everything with a single flat index array and no destination
         # indices: forward layers read the store blob, reverse layers read
         # the (appended) revcomp blob
+        from ..native import bindings
+
         base = np.where(strand, len(store.blob) + rc_start[qid],
                         store.data_off[qid]) + qb
         src = np.concatenate([store.blob, rc_blob])
-        blob = src[_flat_ranges(base, qlen)]
-        # weights: gather quality the same way (garbage for no-quality
-        # layers, fixed up by the repeated mask), phred-shift, default 1
-        qbase = np.where(strand, len(store.qual_blob) + rq_start[qid],
-                         store.qual_off[qid]) + qb
-        qbase = np.where(hasq, qbase, 0)
-        qsrc = np.concatenate([store.qual_blob, rq_blob,
-                               np.zeros(1, np.uint8)])
-        q8 = qsrc[np.minimum(_flat_ranges(qbase, qlen), len(qsrc) - 1)]
-        weights = np.where(np.repeat(hasq, qlen),
-                           q8.astype(np.int32) - PHRED_OFFSET, 1)
+        blob = bindings.gather_ranges(src, base, qlen, _nthr())
+        # weights: gather quality the same way (zeros for no-quality
+        # layers via the pad tail, fixed up by the expanded mask),
+        # phred-shift, default 1
+        if not hasq.any():
+            weights = np.ones(int(self.lay_off[-1]), np.int32)
+        else:
+            qbase = np.where(strand, len(store.qual_blob) + rq_start[qid],
+                             store.qual_off[qid]) + qb
+            pad = int(qlen.max(initial=0)) + 1
+            qbase = np.where(hasq, qbase,
+                             len(store.qual_blob) + len(rq_blob))
+            qsrc = np.concatenate([store.qual_blob, rq_blob,
+                                   np.zeros(pad, np.uint8)])
+            q8 = bindings.gather_ranges(qsrc, qbase, qlen, _nthr())
+            weights = q8.astype(np.int32) - PHRED_OFFSET
+            if not hasq.all():
+                weights[~np.repeat(hasq, qlen)] = 1
         self.lay_blob = blob
         self.lay_codes = encode(blob).astype(np.int8)
         self.layw_blob = weights
