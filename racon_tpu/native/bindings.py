@@ -83,7 +83,7 @@ def _configure(lib: C.CDLL) -> C.CDLL:
         C.c_int64, _u8p, _i64p, _i32p, _i64p, _u8p, _i64p, _i32p, _i32p,
         _i32p, _i64p, C.c_int32, C.c_int32, C.c_int32, C.c_int32, C.c_double,
         C.c_int32, C.c_int64, _i64p, _i32p, C.c_int32, _u8p, _i64p, _i64p,
-        _i32p, _i32p, _u8p]
+        _i32p, _i32p, _u8p, C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p]
     lib.rt_consensus_batch.argtypes = [
         C.c_int64, _u8p, _i64p, _i32p, _i64p, _i32p, _i64p, _u8p, _i64p,
         _i32p, _i32p, _i32p, C.c_void_p, C.c_void_p, C.c_int32, C.c_int32,
@@ -472,10 +472,16 @@ def gather_ranges(src, starts, lens, n_threads, dst=None, dst_off=None):
 def poa_round_batch(cur_blob, cur_off, curw_blob, layer_off, lay_blob,
                     lay_data_off, layw_blob, lay_span_begin, ops_blob,
                     ops_off, final_round, tgs, trim, gap, cand_frac, cand_min,
-                    max_expand, win_id, win_rank, n_threads, out_capacity):
+                    max_expand, win_id, win_rank, n_threads, out_capacity,
+                    with_final=False):
     """One POA merge round over a window batch (device-driver mode).
 
-    Returns (out_blob, out_off, out_len, out_del, out_slots, polished)."""
+    Returns (out_blob, out_off, out_len, out_del, out_slots, polished).
+    With with_final=True (intermediate rounds only), additionally returns
+    (fin_blob, fin_len, fin_polished, conv): the would-be-final consensus
+    off the same graph (same out_off layout) and per-window convergence
+    flags -- a converged window's fin output IS its final consensus, so the
+    caller can retire it without another merge."""
     lib = get_lib()
     n_windows = len(cur_off) - 1
     out_off = np.zeros(n_windows + 1, np.int64)
@@ -486,6 +492,18 @@ def poa_round_batch(cur_blob, cur_off, curw_blob, layer_off, lay_blob,
     out_slots = np.zeros(total, np.int32)
     out_len = np.zeros(n_windows, np.int64)
     out_pol = np.zeros(n_windows, np.uint8)
+    want_fin = with_final and not final_round
+    if want_fin:
+        fin_blob = np.zeros(total, np.uint8)
+        fin_len = np.zeros(n_windows, np.int64)
+        fin_pol = np.zeros(n_windows, np.uint8)
+        conv = np.zeros(n_windows, np.uint8)
+        fb = fin_blob.ctypes.data_as(C.c_void_p)
+        fl = fin_len.ctypes.data_as(C.c_void_p)
+        fp = fin_pol.ctypes.data_as(C.c_void_p)
+        cv = conv.ctypes.data_as(C.c_void_p)
+    else:
+        fb = fl = fp = cv = None
     lib.rt_poa_round_batch(
         n_windows, _as_u8(cur_blob), np.ascontiguousarray(cur_off, np.int64),
         np.ascontiguousarray(curw_blob, np.int32),
@@ -498,7 +516,10 @@ def poa_round_batch(cur_blob, cur_off, curw_blob, layer_off, lay_blob,
         1 if tgs else 0, 1 if trim else 0, gap, cand_frac, cand_min,
         max_expand, np.ascontiguousarray(win_id, np.int64),
         np.ascontiguousarray(win_rank, np.int32), n_threads, out_blob,
-        out_off, out_len, out_del, out_slots, out_pol)
+        out_off, out_len, out_del, out_slots, out_pol, fb, fl, fp, cv)
+    if want_fin:
+        return (out_blob, out_off, out_len, out_del, out_slots, out_pol,
+                fin_blob, fin_len, fin_pol, conv)
     return out_blob, out_off, out_len, out_del, out_slots, out_pol
 
 

@@ -322,7 +322,9 @@ void rt_poa_round_batch(
     int32_t gap, double cand_frac, int32_t cand_min, int64_t max_expand,
     const int64_t* win_id, const int32_t* win_rank, int32_t n_threads,
     uint8_t* out_blob, const int64_t* out_off, int64_t* out_len,
-    int32_t* out_del_blob, int32_t* out_slots_blob, uint8_t* out_polished) {
+    int32_t* out_del_blob, int32_t* out_slots_blob, uint8_t* out_polished,
+    uint8_t* fin_blob, int64_t* fin_len, uint8_t* fin_polished,
+    uint8_t* out_conv) {
     rt::RefineParams rp;
     rp.cand_frac = cand_frac;
     rp.cand_min = cand_min;
@@ -351,10 +353,15 @@ void rt_poa_round_batch(
         const int64_t cap = out_off[w + 1] - out_off[w];
         // cap the expansion to both the caller budget and the device n_cap
         rp.max_growth_num = 2;
+        bool fin_pol = false, conv = false;
+        int64_t fl = 0;
+        const bool want_fin = !final_round && fin_blob != nullptr;
         int64_t nlen = rt::poa_round(
             st, l1 - l0, layers.data(), final_round != 0, rp, tgs != 0,
             trim != 0, gap, out_blob + out_off[w], cap, &polished, win_id[w],
-            win_rank[w]);
+            win_rank[w], want_fin ? fin_blob + out_off[w] : nullptr, cap,
+            want_fin ? &fl : nullptr, want_fin ? &fin_pol : nullptr,
+            want_fin ? &conv : nullptr);
         if (!final_round) {
             nlen = std::min<int64_t>(
                 nlen, std::min<int64_t>(cap, max_expand));
@@ -363,6 +370,11 @@ void rt_poa_round_batch(
                    nlen * sizeof(int32_t));
             memcpy(out_slots_blob + out_off[w], st.cur_slots.data(),
                    nlen * sizeof(int32_t));
+        }
+        if (want_fin) {
+            fin_len[w] = fl;
+            fin_polished[w] = fin_pol ? 1 : 0;
+            out_conv[w] = conv ? 1 : 0;
         }
         out_len[w] = nlen;
         out_polished[w] = polished ? 1 : 0;

@@ -394,7 +394,9 @@ int64_t nw_score_align_percol(const uint8_t* q, int64_t m, const uint8_t* t,
 int64_t poa_round(RoundState& state, int64_t n_layers, const LayerView* layers,
                   bool final_round, const RefineParams& rp, bool tgs,
                   bool trim, int32_t gap, uint8_t* out, int64_t out_capacity,
-                  bool* polished, int64_t window_id, int32_t rank) {
+                  bool* polished, int64_t window_id, int32_t rank,
+                  uint8_t* fin_out, int64_t fin_capacity, int64_t* fin_len,
+                  bool* fin_polished, bool* converged) {
     thread_local Graph g;  // reused across windows: zero per-node heap churn
     g.init(state.cur.data(), static_cast<int32_t>(state.cur.size()),
            state.cur_w.data());
@@ -406,7 +408,11 @@ int64_t poa_round(RoundState& state, int64_t n_layers, const LayerView* layers,
     thread_local std::vector<int32_t> path;
     g.heaviest_bundle(path);
 
-    if (final_round) {
+    // final consensus off this round's graph: trimming per the reference
+    // (src/window.cpp:118-139). warn_chimeric gates the stderr warning so
+    // speculative emissions (intermediate rounds) stay silent unless the
+    // round is actually used as the final one (converged -> retired).
+    auto emit_final = [&](uint8_t* dst, int64_t cap_, bool warn_chimeric) {
         int64_t begin = 0;
         int64_t end = static_cast<int64_t>(path.size()) - 1;
         if (tgs && trim) {
@@ -419,18 +425,25 @@ int64_t poa_round(RoundState& state, int64_t n_layers, const LayerView* layers,
                 --end;
             }
             if (begin >= end) {
-                fprintf(stderr,
-                        "[racon::Window::generate_consensus] warning: contig "
-                        "%lld might be chimeric in window %d!\n",
-                        static_cast<long long>(window_id), rank);
+                if (warn_chimeric) {
+                    fprintf(stderr,
+                            "[racon::Window::generate_consensus] warning: "
+                            "contig %lld might be chimeric in window %d!\n",
+                            static_cast<long long>(window_id), rank);
+                }
                 begin = 0;
                 end = static_cast<int64_t>(path.size()) - 1;
             }
         }
         int64_t n = 0;
-        for (int64_t i = begin; i <= end && n < out_capacity; ++i) {
-            out[n++] = g.nodes[path[i]].base;
+        for (int64_t i = begin; i <= end && n < cap_; ++i) {
+            dst[n++] = g.nodes[path[i]].base;
         }
+        return n;
+    };
+
+    if (final_round) {
+        const int64_t n = emit_final(out, out_capacity, true);
         if (polished) *polished = true;
         return n;
     }
@@ -493,6 +506,33 @@ int64_t poa_round(RoundState& state, int64_t n_layers, const LayerView* layers,
         const int32_t sl = std::min(new_slots_local[i], prev_n - 1);
         composed[i] = state.cur_slots[sl];
     }
+
+    // convergence: this round was a fixed point (same backbone, deletion
+    // costs and slot map) and it ran with zero backbone weights -- exactly
+    // what every later round would also use, so they would reproduce this
+    // graph bit-for-bit and the final consensus is available NOW.
+    bool conv = false;
+    if (converged != nullptr) {
+        conv = new_seq == state.cur && new_del == state.cur_del &&
+               composed == state.cur_slots;
+        if (conv) {
+            for (int32_t w : state.cur_w) {
+                if (w != 0) {
+                    conv = false;
+                    break;
+                }
+            }
+        }
+        *converged = conv;
+    }
+    if (fin_out != nullptr) {
+        // speculative final off the same graph: costs one O(path) pass,
+        // saves the separate final merge when the window retires
+        const int64_t n = emit_final(fin_out, fin_capacity, conv);
+        if (fin_len != nullptr) *fin_len = n;
+        if (fin_polished != nullptr) *fin_polished = true;
+    }
+
     state.cur = std::move(new_seq);
     state.cur_w.assign(state.cur.size(), 0);
     state.cur_del = std::move(new_del);
@@ -545,10 +585,22 @@ int64_t consensus_window(
                 round_layers[i].end = se;
             }
         }
-        const int64_t n =
-            poa_round(st, n_layers, round_layers.data(), final_round, rp, tgs,
-                      trim, gap, out, out_capacity, polished, window_id, rank);
-        if (final_round) return n;
+        if (final_round) {
+            return poa_round(st, n_layers, round_layers.data(), true, rp, tgs,
+                             trim, gap, out, out_capacity, polished,
+                             window_id, rank);
+        }
+        // intermediate round: also emit the speculative final + convergence
+        // flag so a fixed point skips the remaining (bit-identical) passes
+        int64_t fin_n = 0;
+        bool fin_pol = false, conv = false;
+        poa_round(st, n_layers, round_layers.data(), false, rp, tgs, trim,
+                  gap, out, out_capacity, polished, window_id, rank, out,
+                  out_capacity, &fin_n, &fin_pol, &conv);
+        if (conv) {
+            if (polished) *polished = fin_pol;
+            return fin_n;
+        }
     }
     return 0;  // unreachable
 }

@@ -45,10 +45,17 @@ struct RoundState {
 // required), then either emit the final consensus (trim etc) or the expanded
 // backbone for the next round into `state`.
 // Returns consensus length (final) or new backbone length (intermediate).
+// Intermediate rounds can additionally emit the would-be-final consensus off
+// the same graph (fin_out/fin_len/fin_polished) and report whether the round
+// was a fixed point (converged) -- later rounds would then reproduce it
+// bit-for-bit, so the caller can retire the window with fin_out directly.
 int64_t poa_round(RoundState& state, int64_t n_layers, const LayerView* layers,
                   bool final_round, const RefineParams& rp, bool tgs,
                   bool trim, int32_t gap, uint8_t* out, int64_t out_capacity,
-                  bool* polished, int64_t window_id, int32_t rank);
+                  bool* polished, int64_t window_id, int32_t rank,
+                  uint8_t* fin_out = nullptr, int64_t fin_capacity = 0,
+                  int64_t* fin_len = nullptr, bool* fin_polished = nullptr,
+                  bool* converged = nullptr);
 
 // full multi-pass window consensus with host-side alignment
 int64_t consensus_window(

@@ -460,14 +460,14 @@ class TpuConsensusStage:
                 bindings.gather_ranges(flat, soff, scnt, thr, dst=ops_blob,
                                        dst_off=ops_off2[idxs])
         capacity = 2 * lens + 512
-        out_blob, out_off, out_len, out_del, out_slots, out_pol = \
-            bindings.poa_round_batch(
-                cur_blob, bb_off, curw_blob, st.item_off,
-                st.lay_blob, st.lay_off, st.layw_blob,
-                sb.astype(np.int32), ops_blob, ops_off2,
-                final, tgs, cfg.trim, gap, cfg.candidate_frac,
-                cfg.candidate_min, max_expand, st.win_id, st.win_rank,
-                thr, capacity)
+        res = bindings.poa_round_batch(
+            cur_blob, bb_off, curw_blob, st.item_off,
+            st.lay_blob, st.lay_off, st.layw_blob,
+            sb.astype(np.int32), ops_blob, ops_off2,
+            final, tgs, cfg.trim, gap, cfg.candidate_frac,
+            cfg.candidate_min, max_expand, st.win_id, st.win_rank,
+            thr, capacity, with_final=not final)
+        out_blob, out_off, out_len, out_del, out_slots, out_pol = res[:6]
 
         n_act = len(active)
         retired: set[int] = set()
@@ -478,6 +478,22 @@ class TpuConsensusStage:
                 consensus[w] = raw[o : o + int(out_len[z])]
                 polished[w] = bool(out_pol[z])
             return retired
+
+        # convergence + speculative finals come straight from the merge:
+        # the round was a fixed point (same backbone, deletion costs, slot
+        # map, zero backbone weights), so later rounds would reproduce the
+        # graph bit-for-bit and fin_blob already holds the final consensus.
+        fin_blob, fin_len, fin_pol, conv = res[6:]
+        conv &= ~state.has_w  # round must have run with zero weights
+        conv_z = np.flatnonzero(conv)
+        if len(conv_z):
+            retired = {active[int(z)] for z in conv_z}
+            raw = fin_blob.tobytes()
+            for z in conv_z:
+                z = int(z)
+                o = int(out_off[z])
+                consensus[active[z]] = raw[o : o + int(fin_len[z])]
+                polished[active[z]] = bool(fin_pol[z])
 
         # vectorized state replacement: gather the merge outputs into fresh
         # flat blobs, compose slots through to original coordinates
@@ -493,79 +509,12 @@ class TpuConsensusStage:
         new_off = np.zeros(n_act + 1, np.int64)
         np.cumsum(new_len, out=new_off[1:])
 
-        # convergence (vectorized): the round was a fixed point (same
-        # backbone, deletion costs, slot map, and it ran with zero backbone
-        # weights — what every later round would also use). Later rounds
-        # would reproduce the state bit-for-bit, so the final consensus is
-        # available NOW from this round's ops.
-        cand = (new_len == lens) & ~state.has_w
-        conv_z: list[int] = []
-        cz = np.flatnonzero(cand)
-        if len(cz):
-            clens = new_len[cz]
-            g = bindings.gather_ranges
-            eq = ((g(state.cur, bb_off[cz], clens, thr)
-                   == g(new_cur, new_off[cz], clens, thr))
-                  & (g(state.dcost, bb_off[cz], clens, thr)
-                     == g(new_del, new_off[cz], clens, thr))
-                  & (g(state.slots, bb_off[cz], clens, thr)
-                     == g(new_slots, new_off[cz], clens, thr)))
-            seg = np.zeros(len(cz), np.int64)
-            np.cumsum(clens[:-1], out=seg[1:])
-            allmask = np.logical_and.reduceat(eq, seg)
-            conv_z = [int(z) for z in cz[allmask]]
-            retired = {active[z] for z in conv_z}
-
         state.cur = new_cur
         state.dcost = new_del
         state.slots = new_slots
         state.off = new_off
         state.w = np.zeros(len(new_cur), np.int32)
         state.has_w = np.zeros(n_act, bool)
-
-        if conv_z:
-            # finalize converged windows immediately: one extra merge call
-            # (final semantics: consensus + coverage trimming) reusing this
-            # round's alignments — no device work
-            zarr = np.asarray(conv_z)
-            ksel = _flat_ranges(st.item_off[zarr],
-                                st.item_off[zarr + 1] - st.item_off[zarr])
-            # converged: old state == new state, so slice the new blobs
-            czlen = new_len[zarr]
-            cur_blob2 = bindings.gather_ranges(new_cur, new_off[zarr], czlen,
-                                               thr)
-            bb_off2 = np.zeros(len(zarr) + 1, np.int64)
-            np.cumsum(czlen, out=bb_off2[1:])
-            curw2 = np.zeros(len(cur_blob2), np.int32)
-            item_off2 = np.zeros(len(conv_z) + 1, np.int64)
-            np.cumsum(st.item_off[zarr + 1] - st.item_off[zarr],
-                      out=item_off2[1:])
-            klen = st.lay_len[ksel]
-            lay_off2 = np.zeros(len(ksel) + 1, np.int64)
-            np.cumsum(klen, out=lay_off2[1:])
-            lay_blob2 = bindings.gather_ranges(st.lay_blob, st.lay_off[ksel],
-                                               klen, thr)
-            layw2 = bindings.gather_ranges(st.layw_blob, st.lay_off[ksel],
-                                           klen, thr)
-            kcnt = cnt[ksel]
-            ops_off2b = np.zeros(len(ksel) + 1, np.int64)
-            np.cumsum(kcnt, out=ops_off2b[1:])
-            ops2 = bindings.gather_ranges(ops_blob, ops_off2[ksel], kcnt,
-                                          thr)
-            out_blob2, out_off2, out_len2, _, _, out_pol2 = \
-                bindings.poa_round_batch(
-                    cur_blob2, bb_off2, curw2, item_off2, lay_blob2,
-                    lay_off2, layw2, sb[ksel].astype(np.int32),
-                    ops2, ops_off2b, True, tgs, cfg.trim, gap,
-                    cfg.candidate_frac, cfg.candidate_min, max_expand,
-                    st.win_id[zarr], st.win_rank[zarr], thr,
-                    capacity[zarr])
-            raw2 = out_blob2.tobytes()
-            for j, z in enumerate(conv_z):
-                o = int(out_off2[j])
-                ln = int(out_len2[j])
-                consensus[active[z]] = raw2[o : o + ln]
-                polished[active[z]] = bool(out_pol2[j])
         return retired
 
 

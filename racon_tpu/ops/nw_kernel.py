@@ -318,40 +318,68 @@ _T_VMEM_LIMIT = 12 << 20  # scoped-vmem budget for the transposed kernel
 
 
 def t_kernel_fits(m_cap: int, n_cap: int, w_band: int) -> bool:
-    """Whether the transposed (sublane-band) kernel's per-grid-step VMEM
-    footprint fits the scoped budget: it loads full (rows, B_LANE) int32
-    panels, so big tiers must fall back to the lane-major kernel (whose
-    blocks are (B_TILE, ...) and stay small)."""
+    """Whether the transposed (sublane-band) int8 kernel's per-grid-step
+    VMEM footprint fits the scoped budget: it loads full (rows, B_LANE)
+    int8 panels plus the int32 move block and two int32 scratch registers;
+    oversized tiers fall back to the lane-major kernel (whose blocks are
+    (B_TILE, ...) and stay small). It also needs dlo <= 0 (in-kernel gc
+    integration starts its scan at band lane 0 — see _nw_band_kernel_t8)."""
     per_lane = 4 * B_LANE
     qt = m_cap * per_lane
     tp = (n_cap + 2 * w_band) * per_lane
-    gcp = (n_cap + 1 + 2 * w_band) * per_lane
+    dcp = (n_cap + 2 * w_band) * per_lane
     moves = (_GROUP // _PACK) * w_band * per_lane
-    scratch = w_band * per_lane
-    return m_cap % _GROUP == 0 and (
-        qt + tp + gcp + moves + scratch) <= _T_VMEM_LIMIT
+    scratch = 2 * w_band * per_lane
+    return (m_cap % _GROUP == 0
+            and band_dlo(m_cap, n_cap, w_band) <= 0
+            and (qt + tp + dcp + moves + scratch) <= _T_VMEM_LIMIT)
+
+
+def _expand_nib_T(x4T, rows: int):
+    """(rows//2, B) uint8 nibble columns -> (rows, B) int8 codes: byte r
+    holds rows 2r (low nibble) and 2r+1 (high). Transposing the PACKED
+    array first keeps the relayout 8x smaller than transposing unpacked
+    int32 panels."""
+    lo = (x4T & 0xF).astype(jnp.int8)
+    hi = (x4T >> 4).astype(jnp.int8)
+    return jnp.stack([lo, hi], axis=1).reshape(rows, x4T.shape[1])
+
+
+def _expand_bits_T(bT, rows: int):
+    """(rows//8, B) uint8 bitmask columns -> (rows, B) int8 in {0, 1}."""
+    bits = (bT[:, None, :] >> jnp.arange(8, dtype=jnp.uint8)[None, :, None])
+    return (bits & 1).astype(jnp.int8).reshape(rows, bT.shape[1])
+
+
+def _prep_panels_t8(q4, t4, dcb, *, m_cap, n_cap, w_band, gap):
+    """Device prep for the transposed kernel: transpose the PACKED uplink
+    arrays (8-25x smaller relayouts than transposing unpacked panels), then
+    nibble/bit-expand along sublanes and widen to int32 (Mosaic requires
+    32-bit panels for the kernel's arbitrary-offset dynamic sublane loads).
+    dcp holds per-column deletion COSTS (gap or 0) with W zero rows of
+    padding on both sides — the kernel integrates the prefix sums itself,
+    so no (n_cap, B) cumsum is ever materialized."""
+    W = w_band
+    qT = _expand_nib_T(q4.T, m_cap).astype(jnp.int32)
+    tT = _expand_nib_T(t4.T, n_cap).astype(jnp.int32)
+    tpT = jnp.pad(tT, ((W, W), (0, 0)), constant_values=PAD_CODE)
+    dcT = _expand_bits_T(dcb.T, n_cap).astype(jnp.int32) * gap
+    dcpT = jnp.pad(dcT, ((W, W), (0, 0)))
+    return qT, tpT, dcpT
 
 
 def align_walk_packed_core_t(q4, t4, dcb, m, n, *, m_cap, n_cap, w_band,
-                             match, mismatch, gap):
-    """Transposed twin of align_walk_packed_core: unpack the nibble rows,
-    transpose the panels on device (cheap relayouts vs the ~25x larger
-    uplink), and run the sublane-band kernel + transposed walk. Outputs are
-    bit-identical to align_walk_packed_core's."""
-    B = q4.shape[0]
+                             match, mismatch, gap, interpret=False):
+    """Transposed twin of align_walk_packed_core: transpose + unpack the
+    packed uplink rows into int8 panels on device (cheap relayouts vs the
+    ~25x larger uplink) and run the int8 sublane-band kernel + transposed
+    walk. Outputs are bit-identical to align_walk_packed_core's."""
     W = w_band
-    q8 = unpack_codes4(q4, m_cap)
-    t8 = unpack_codes4(t4, n_cap)
-    dc = unpack_delbits(dcb, n_cap, gap)
-    qT = q8.T.astype(jnp.int32)
-    tpT = jnp.pad(t8.T.astype(jnp.int32), ((W, W), (0, 0)),
-                  constant_values=PAD_CODE)
-    gc = jnp.pad(jnp.cumsum(dc.T, axis=0), ((1, 0), (0, 0)))
-    gcpT = jnp.concatenate([jnp.zeros((W, B), jnp.int32), gc,
-                            jnp.broadcast_to(gc[-1:], (W, B))])
-    moves, score = nw_band_batch_t(qT, tpT, gcpT, m_cap=m_cap, n_cap=n_cap,
-                                   w_band=W, match=match, mismatch=mismatch,
-                                   gap=gap)
+    qT, tpT, dcpT = _prep_panels_t8(q4, t4, dcb, m_cap=m_cap, n_cap=n_cap,
+                                    w_band=W, gap=gap)
+    moves, score = nw_band_batch_t8(qT, tpT, dcpT, m_cap=m_cap, n_cap=n_cap,
+                                    w_band=W, match=match, mismatch=mismatch,
+                                    gap=gap, interpret=interpret)
     codes, escaped = walk_moves_device_t(
         moves, m, n, m_cap=m_cap, n_cap=n_cap, w_band=W,
         max_steps=walk_steps(m_cap, n_cap, W), packed=True)
@@ -577,6 +605,147 @@ def nw_band_batch_t(qT, tpT, gcpT, *, m_cap, n_cap, w_band, match, mismatch,
     )(qT, tpT, gcpT)
 
 
+# ---------------------------------------------------------------------- #
+# int8 transposed kernel: same DP and band layout as _nw_band_kernel_t but
+# (a) the q/t panels stay int8 end-to-end (4x less VMEM/DMA traffic) and
+# (b) the deletion-cost prefix sums gc are INTEGRATED IN-KERNEL from the
+# per-column cost panel via a (W, B) running register that advances one
+# sublane per row — the (n_cap, B) int32 cumsum the old kernel needed as
+# input (a ~30 MB XLA materialization per dispatch at production shapes) is
+# never built. Moves/score outputs are bit-identical to _nw_band_kernel_t.
+# ---------------------------------------------------------------------- #
+
+
+def _nw_band_kernel_t8(q_ref, tp_ref, dcp_ref, moves_ref, score_ref, hscr,
+                       gscr, *, m_cap, n_cap, w_band, match, mismatch, gap):
+    """q (m_cap, BT) int32 codes; tp (n_cap + 2W, BT) int32 codes with W PAD
+    sublanes both sides; dcp (n_cap + 2W, BT) int32 per-column deletion
+    costs with W ZERO sublanes both sides (zeros below n_cap freeze gc at
+    gc[n_cap], matching the old kernel's edge-padded cumsum). Requires
+    dlo <= 0 (equal caps or n_cap - m_cap <= W/2; wrappers guarantee it).
+    gscr carries the gc register across row groups: gscr[k] = gc[i+dlo+k]
+    for the next row i."""
+    W = w_band
+    BT = q_ref.shape[1]
+    dlo = band_dlo(m_cap, n_cap, W)
+    PADL = W
+    n_groups = m_cap // _GROUP
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (W, BT), 0)
+    g = pl.program_id(1)
+
+    @pl.when(g == 0)
+    def _():
+        # L[k] = dc_col[dlo + k] (panel pads supply zeros out of range);
+        # inclusive scan inc[k] = gc[1 + dlo + k], exclusive E = gc[dlo + k]
+        L = dcp_ref[pl.ds(PADL + dlo, W), :].astype(jnp.int32)
+        inc = L
+        s = 1
+        while s < W:
+            r = pltpu.roll(inc, s, 0)
+            inc = inc + jnp.where(kcol < s, 0, r)
+            s *= 2
+        E = inc - L
+        j0 = dlo + kcol
+        hscr[...] = jnp.where((j0 >= 0) & (j0 <= n_cap), E, NEG)
+        gscr[...] = inc
+
+    def pack_body(p, carry):
+        hp, R = carry
+        pack = jnp.zeros((W, BT), jnp.int32)
+        for u in range(_PACK):
+            i = g * _GROUP + p * _PACK + u + 1
+            off = i - 1 + PADL + dlo
+            t_row = tp_ref[pl.ds(off, W), :]
+            qi = q_ref[pl.ds(i - 1, 1), :]
+            gc_here = R  # R[k] = gc[i + dlo + k]
+            jrow = i + dlo + kcol
+            valid = (jrow >= 1) & (jrow <= n_cap)
+            same = t_row == qi
+            one_pad = (t_row == PAD_CODE) ^ (qi == PAD_CODE)
+            sub = jnp.where(one_pad, NEG, jnp.where(same, match, mismatch))
+            diag_c = hp + sub
+            up = pltpu.roll(hp, W - 1, 0)  # circular -1: k reads hp[k+1]
+            up_c = jnp.where(kcol == W - 1, NEG, up) + gap
+            cand = jnp.maximum(diag_c, up_c)
+            cand = jnp.where(jrow == 0, i * gap, cand)
+            cand = jnp.where(valid | (jrow == 0), cand, NEG)
+            a = cand - gc_here
+            s = 1
+            while s < W:
+                r = pltpu.roll(a, s, 0)
+                a = jnp.maximum(a, jnp.where(kcol < s, 2 * NEG, r))
+                s *= 2
+            h = a + gc_here
+            h = jnp.where(valid | (jrow == 0), h, NEG)
+            mv = jnp.where(h == diag_c, 0, jnp.where(h == up_c, 1, 2))
+            mv = jnp.where(valid, mv, 3)
+            pack = pack | (mv << (2 * u))
+            hp = h
+            # advance gc register: R'[k] = gc[i+1+dlo+k]; new top element
+            # gc[i+dlo+W] = R[W-1] + dc_col[i+dlo+W-1] (panel row off + W)
+            top = jax.lax.slice(R, (W - 1, 0), (W, BT))
+            dcrow = dcp_ref[pl.ds(off + W, 1), :].astype(jnp.int32)
+            R = pltpu.roll(R, W - 1, 0)
+            R = jnp.where(kcol == W - 1, top + dcrow, R)
+        moves_ref[pl.ds(p, 1), :, :] = pack[None]
+        return (hp, R)
+
+    h_final, g_final = jax.lax.fori_loop(0, _GROUP // _PACK, pack_body,
+                                         (hscr[...], gscr[...]))
+    hscr[...] = h_final
+    gscr[...] = g_final
+
+    @pl.when(g == n_groups - 1)
+    def _():
+        k_end = n_cap - m_cap - dlo
+        score_ref[...] = jax.lax.slice(h_final, (k_end, 0), (k_end + 1, BT))
+
+
+def nw_band_batch_t8(qT, tpT, dcpT, *, m_cap, n_cap, w_band, match, mismatch,
+                     gap, interpret=False):
+    """qT (m_cap, B) int32 codes, tpT (n_cap + 2W, B) int32 codes with W PAD
+    sublanes both sides, dcpT (n_cap + 2W, B) int32 per-column deletion
+    costs with W zero sublanes both sides. B must be a multiple of B_LANE
+    and m_cap a multiple of 128; requires band_dlo(...) <= 0. Returns
+    (moves (m_cap//16, W, B) int32, score (1, B) int32) bit-identical to
+    nw_band_batch_t's."""
+    B = qT.shape[1]
+    assert B % B_LANE == 0 and m_cap % _GROUP == 0
+    assert band_dlo(m_cap, n_cap, w_band) <= 0
+    W = w_band
+    kernel = functools.partial(_nw_band_kernel_t8, m_cap=m_cap, n_cap=n_cap,
+                               w_band=W, match=match, mismatch=mismatch,
+                               gap=gap)
+    slots = _GROUP // _PACK
+    return pl.pallas_call(
+        kernel,
+        grid=(B // B_LANE, m_cap // _GROUP),
+        out_shape=(
+            jax.ShapeDtypeStruct((m_cap // _PACK, W, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec((m_cap, B_LANE), lambda i, g: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tpT.shape[0], B_LANE), lambda i, g: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dcpT.shape[0], B_LANE), lambda i, g: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((slots, W, B_LANE), lambda i, g: (g, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B_LANE), lambda i, g: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((W, B_LANE), jnp.int32),
+            pltpu.VMEM((W, B_LANE), jnp.int32),
+        ],
+        interpret=interpret,
+    )(qT, tpT, dcpT)
+
+
 @functools.partial(jax.jit, static_argnames=("m_cap", "n_cap", "w_band",
                                              "max_steps", "packed"))
 def walk_moves_device_t(moves, m, n, *, m_cap, n_cap, w_band, max_steps,
@@ -733,20 +902,12 @@ def align_walk_packed_core_rle_t(q4, t4, dcb, m, n, *, m_cap, n_cap, w_band,
                                  match, mismatch, gap):
     """align_walk_packed_core_t with the RLE walk: payload is
     (B, rle_events(...) + 1) uint8 — event bytes plus the escape flag."""
-    B = q4.shape[0]
     W = w_band
-    q8 = unpack_codes4(q4, m_cap)
-    t8 = unpack_codes4(t4, n_cap)
-    dc = unpack_delbits(dcb, n_cap, gap)
-    qT = q8.T.astype(jnp.int32)
-    tpT = jnp.pad(t8.T.astype(jnp.int32), ((W, W), (0, 0)),
-                  constant_values=PAD_CODE)
-    gc = jnp.pad(jnp.cumsum(dc.T, axis=0), ((1, 0), (0, 0)))
-    gcpT = jnp.concatenate([jnp.zeros((W, B), jnp.int32), gc,
-                            jnp.broadcast_to(gc[-1:], (W, B))])
-    moves, score = nw_band_batch_t(qT, tpT, gcpT, m_cap=m_cap, n_cap=n_cap,
-                                   w_band=W, match=match, mismatch=mismatch,
-                                   gap=gap)
+    qT, tpT, dcpT = _prep_panels_t8(q4, t4, dcb, m_cap=m_cap, n_cap=n_cap,
+                                    w_band=W, gap=gap)
+    moves, score = nw_band_batch_t8(qT, tpT, dcpT, m_cap=m_cap, n_cap=n_cap,
+                                    w_band=W, match=match, mismatch=mismatch,
+                                    gap=gap)
     events, escaped = walk_moves_rle_t(
         moves, m, n, m_cap=m_cap, n_cap=n_cap, w_band=W,
         max_events=rle_events(m_cap, n_cap, W))
@@ -862,7 +1023,7 @@ def _gather_bit_cols(bits, start, length, rows: int, fillbit: int):
 def align_walk_gather_core_t(qblob4, tblob4, dcbits, meta, *, m_cap, n_cap,
                              w_band, match, mismatch, gap, interpret=False):
     """Fused gather + transposed banded NW + transposed walk: the production
-    real-chip body (see nw_band_batch_t). Payload/score outputs are
+    real-chip body (see nw_band_batch_t8). Payload/score outputs are
     bit-identical to align_walk_gather_core's."""
     qs, m, ts, n = meta[:, 0], meta[:, 1], meta[:, 2], meta[:, 3]
     B = meta.shape[0]
@@ -870,14 +1031,14 @@ def align_walk_gather_core_t(qblob4, tblob4, dcbits, meta, *, m_cap, n_cap,
     qT = _gather_nib_cols(qblob4, qs, m, m_cap, 0, PAD_CODE).astype(jnp.int32)
     tpT = _gather_nib_cols(tblob4, ts, n, n_cap + 2 * W, -W,
                            PAD_CODE).astype(jnp.int32)
+    # per-column deletion costs, gap beyond each row's length up to n_cap
+    # (matching pack_rows_bits' fill) and ZERO in the W-row pads so the
+    # in-kernel gc freezes at gc[n_cap] like the old edge-padded cumsum
     dcT = _gather_bit_cols(dcbits, ts, n, n_cap, 1) * gap
-    gc = jnp.concatenate(
-        [jnp.zeros((1, B), jnp.int32), jnp.cumsum(dcT, axis=0)])
-    gcpT = jnp.concatenate([jnp.zeros((W, B), jnp.int32), gc,
-                            jnp.broadcast_to(gc[-1:], (W, B))])
-    moves, score = nw_band_batch_t(qT, tpT, gcpT, m_cap=m_cap, n_cap=n_cap,
-                                   w_band=W, match=match, mismatch=mismatch,
-                                   gap=gap, interpret=interpret)
+    dcpT = jnp.pad(dcT, ((W, W), (0, 0)))
+    moves, score = nw_band_batch_t8(qT, tpT, dcpT, m_cap=m_cap, n_cap=n_cap,
+                                    w_band=W, match=match, mismatch=mismatch,
+                                    gap=gap, interpret=interpret)
     codes, escaped = walk_moves_device_t(
         moves, m, n, m_cap=m_cap, n_cap=n_cap, w_band=W,
         max_steps=walk_steps(m_cap, n_cap, W), packed=True)

@@ -232,3 +232,37 @@ def test_transposed_core_matches_row_core():
                                             interpret=True, **kw)
     np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
     np.testing.assert_array_equal(np.asarray(got_s), np.asarray(want_s))
+
+
+def test_packed_transposed_core_matches_row_core():
+    """The packed-rows transposed core (int8 panels + in-kernel gc
+    integration, nw_band_batch_t8) must produce the exact payload/score of
+    the lane-major packed core (pallas interpret mode for both)."""
+    import functools
+    import numpy as np
+    from racon_tpu.ops.nw_kernel import (
+        PAD_CODE, align_walk_packed_core, align_walk_packed_core_t,
+        nw_band_batch, pack_codes4, pack_delbits)
+
+    rng = np.random.default_rng(29)
+    cap, band, gap = 256, 128, -8
+    B = 128
+    m = rng.integers(40, cap, B).astype(np.int32)
+    n = rng.integers(40, cap, B).astype(np.int32)
+    q8 = np.full((B, cap), PAD_CODE, np.int8)
+    t8 = np.full((B, cap), PAD_CODE, np.int8)
+    dc8 = np.zeros((B, cap), np.int8)
+    for i in range(B):
+        q8[i, : m[i]] = rng.integers(0, 5, m[i])
+        t8[i, : n[i]] = rng.integers(0, 5, n[i])
+        dc8[i] = np.where(rng.random(cap) < 0.3, 0, gap)  # optional columns
+    q4, t4, dcb = pack_codes4(q8), pack_codes4(t8), pack_delbits(dc8)
+    kw = dict(m_cap=cap, n_cap=cap, w_band=band, match=5, mismatch=-4,
+              gap=gap)
+    want_p, want_s = align_walk_packed_core(
+        q4, t4, dcb, m, n,
+        nw_fn=functools.partial(nw_band_batch, interpret=True), **kw)
+    got_p, got_s = align_walk_packed_core_t(q4, t4, dcb, m, n,
+                                            interpret=True, **kw)
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
+    np.testing.assert_array_equal(np.asarray(got_s), np.asarray(want_s))
