@@ -68,9 +68,11 @@ def _configure(lib: C.CDLL) -> C.CDLL:
         np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS"), C.c_int64,
         C.c_int64, C.c_int32, _i32p, _i64p, _i64p]
     lib.rt_opstream_packed_to_ops_batch.argtypes = [
-        _u8p, C.c_int64, C.c_int64, C.c_int32, _i32p, _i64p, _i64p]
+        _u8p, C.c_int64, C.c_int64, C.c_int32, _i32p, _i64p, C.c_void_p,
+        _i64p]
     lib.rt_opstream_rle_to_ops_batch.argtypes = [
-        _u8p, C.c_int64, C.c_int64, C.c_int32, _i32p, _i64p, _i64p]
+        _u8p, C.c_int64, C.c_int64, C.c_int32, _i32p, _i64p, C.c_void_p,
+        _i64p]
     lib.rt_pack_rows.argtypes = [
         _u8p, _i64p, _i64p, C.c_int64, C.c_int64, C.c_uint8, _u8p, C.c_int32]
     lib.rt_pack_rows_nib.argtypes = [
@@ -81,9 +83,10 @@ def _configure(lib: C.CDLL) -> C.CDLL:
         _u8p, C.c_int64, _i64p, _i64p, _i64p, C.c_int64, _u8p, C.c_int32]
     lib.rt_poa_round_batch.argtypes = [
         C.c_int64, _u8p, _i64p, _i32p, _i64p, _u8p, _i64p, _i32p, _i32p,
-        _i32p, _i64p, C.c_int32, C.c_int32, C.c_int32, C.c_int32, C.c_double,
-        C.c_int32, C.c_int64, _i64p, _i32p, C.c_int32, _u8p, _i64p, _i64p,
-        _i32p, _i32p, _u8p, C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p]
+        _i32p, _i64p, C.c_void_p, C.c_int32, C.c_int32, C.c_int32, C.c_int32,
+        C.c_double, C.c_int32, C.c_int64, _i64p, _i32p, C.c_int32, _u8p,
+        _i64p, _i64p, _i32p, _i32p, _u8p, C.c_void_p, C.c_void_p, C.c_void_p,
+        C.c_void_p]
     lib.rt_consensus_batch.argtypes = [
         C.c_int64, _u8p, _i64p, _i32p, _i64p, _i32p, _i64p, _u8p, _i64p,
         _i32p, _i32p, _i32p, C.c_void_p, C.c_void_p, C.c_int32, C.c_int32,
@@ -371,38 +374,55 @@ def opstream_to_ops_batch(codes, m, n, n_threads):
     return out.reshape(-1, 2), out_off, counts
 
 
-def opstream_packed_to_ops_batch(codes, max_steps, m, n, n_threads):
+def _opstream_common(fn, codes, budget, m, n, n_threads, dst, dst_off):
+    """Shared driver for the op-stream decoders. Default: allocate a packed
+    (m+n+2)-capacity blob and return (ops (sum,2) int32, offsets, counts).
+    With dst/dst_off, decode IN PLACE: row i's ops land at dst[dst_off[i]:]
+    with capacity `budget` runs (one event/step yields at most one run), so
+    the caller's final per-item layout is written directly — no gather,
+    no per-chunk allocation. Returns (dst, dst_off, counts) then."""
+    B = codes.shape[0]
+    if dst is None:
+        m = np.asarray(m)
+        n = np.asarray(n)
+        dst_off = np.zeros(B + 1, np.int64)
+        np.cumsum(m + n + 2, out=dst_off[1:])
+        dst = np.empty((int(dst_off[-1]), 2), np.int32)
+        caps = None
+    else:
+        assert dst.dtype == np.int32 and dst.ndim == 2 and dst.shape[1] == 2
+        dst_off = np.ascontiguousarray(dst_off, np.int64)
+        # a real stream yields <= m+n runs, but an escaped (garbage) stream
+        # can fill the whole budget — clamp to the slot size so truncation,
+        # not overflow, is the worst case (escaped rows are re-aligned on
+        # the host and overwritten anyway)
+        caps = np.minimum(np.int64(budget),
+                          np.asarray(m, np.int64) + np.asarray(n, np.int64)
+                          + 2)
+    counts = np.empty(B, np.int64)
+    fn(_as_u8(codes), B, budget, n_threads, dst.reshape(-1),
+       dst_off, None if caps is None else caps.ctypes.data_as(C.c_void_p),
+       counts)
+    return dst, dst_off, counts
+
+
+def opstream_packed_to_ops_batch(codes, max_steps, m, n, n_threads,
+                                 dst=None, dst_off=None):
     """codes: (B, max_steps//4) uint8 packed backward op streams (4 steps per
     byte) from the device walk. Returns (ops flat (sum,2) int32, offsets,
-    counts)."""
-    lib = get_lib()
-    B = codes.shape[0]
-    m = np.asarray(m)
-    n = np.asarray(n)
-    out_off = np.zeros(B + 1, np.int64)
-    np.cumsum(m + n + 2, out=out_off[1:])
-    out = np.zeros(int(out_off[-1]) * 2, np.int32)
-    counts = np.zeros(B, np.int64)
-    lib.rt_opstream_packed_to_ops_batch(
-        _as_u8(codes), B, max_steps, n_threads, out, out_off, counts)
-    return out.reshape(-1, 2), out_off, counts
+    counts); see _opstream_common for the in-place mode."""
+    return _opstream_common(get_lib().rt_opstream_packed_to_ops_batch,
+                            codes, max_steps, m, n, n_threads, dst, dst_off)
 
 
-def opstream_rle_to_ops_batch(codes, max_events, m, n, n_threads):
+def opstream_rle_to_ops_batch(codes, max_events, m, n, n_threads,
+                              dst=None, dst_off=None):
     """codes: (B, max_events) uint8 backward RLE event streams from the
     device RLE walk (0 = skip, 1..200 = diagonal run, 201 = insertion,
-    202 = deletion). Returns (ops flat (sum,2) int32, offsets, counts)."""
-    lib = get_lib()
-    B = codes.shape[0]
-    m = np.asarray(m)
-    n = np.asarray(n)
-    out_off = np.zeros(B + 1, np.int64)
-    np.cumsum(m + n + 2, out=out_off[1:])
-    out = np.zeros(int(out_off[-1]) * 2, np.int32)
-    counts = np.zeros(B, np.int64)
-    lib.rt_opstream_rle_to_ops_batch(
-        _as_u8(codes), B, max_events, n_threads, out, out_off, counts)
-    return out.reshape(-1, 2), out_off, counts
+    202 = deletion). Returns (ops flat (sum,2) int32, offsets, counts);
+    see _opstream_common for the in-place mode."""
+    return _opstream_common(get_lib().rt_opstream_rle_to_ops_batch,
+                            codes, max_events, m, n, n_threads, dst, dst_off)
 
 
 def pack_rows(blob, starts, ends, cap, fill, n_threads, dtype=np.int8):
@@ -473,9 +493,12 @@ def poa_round_batch(cur_blob, cur_off, curw_blob, layer_off, lay_blob,
                     lay_data_off, layw_blob, lay_span_begin, ops_blob,
                     ops_off, final_round, tgs, trim, gap, cand_frac, cand_min,
                     max_expand, win_id, win_rank, n_threads, out_capacity,
-                    with_final=False):
+                    with_final=False, ops_cnt=None):
     """One POA merge round over a window batch (device-driver mode).
 
+    ops_off holds per-item offsets into ops_blob; when ops_cnt is given it
+    holds per-item run counts (padded/non-contiguous ops layouts — the
+    in-place decode mode), otherwise counts are the offset differences.
     Returns (out_blob, out_off, out_len, out_del, out_slots, polished).
     With with_final=True (intermediate rounds only), additionally returns
     (fin_blob, fin_len, fin_polished, conv): the would-be-final consensus
@@ -487,17 +510,21 @@ def poa_round_batch(cur_blob, cur_off, curw_blob, layer_off, lay_blob,
     out_off = np.zeros(n_windows + 1, np.int64)
     np.cumsum(out_capacity, out=out_off[1:])
     total = int(out_off[-1])
-    out_blob = np.zeros(total, np.uint8)
-    out_del = np.zeros(total, np.int32)
-    out_slots = np.zeros(total, np.int32)
-    out_len = np.zeros(n_windows, np.int64)
-    out_pol = np.zeros(n_windows, np.uint8)
+    out_blob = np.empty(total, np.uint8)
+    out_del = np.empty(total, np.int32)
+    out_slots = np.empty(total, np.int32)
+    out_len = np.empty(n_windows, np.int64)
+    out_pol = np.empty(n_windows, np.uint8)
+    oc = None
+    if ops_cnt is not None:
+        ops_cnt = np.ascontiguousarray(ops_cnt, np.int64)
+        oc = ops_cnt.ctypes.data_as(C.c_void_p)
     want_fin = with_final and not final_round
     if want_fin:
-        fin_blob = np.zeros(total, np.uint8)
-        fin_len = np.zeros(n_windows, np.int64)
-        fin_pol = np.zeros(n_windows, np.uint8)
-        conv = np.zeros(n_windows, np.uint8)
+        fin_blob = np.empty(total, np.uint8)
+        fin_len = np.empty(n_windows, np.int64)
+        fin_pol = np.empty(n_windows, np.uint8)
+        conv = np.empty(n_windows, np.uint8)
         fb = fin_blob.ctypes.data_as(C.c_void_p)
         fl = fin_len.ctypes.data_as(C.c_void_p)
         fp = fin_pol.ctypes.data_as(C.c_void_p)
@@ -512,7 +539,8 @@ def poa_round_batch(cur_blob, cur_off, curw_blob, layer_off, lay_blob,
         np.ascontiguousarray(layw_blob, np.int32),
         np.ascontiguousarray(lay_span_begin, np.int32),
         np.ascontiguousarray(ops_blob, np.int32).reshape(-1),
-        np.ascontiguousarray(ops_off, np.int64), 1 if final_round else 0,
+        np.ascontiguousarray(ops_off, np.int64), oc,
+        1 if final_round else 0,
         1 if tgs else 0, 1 if trim else 0, gap, cand_frac, cand_min,
         max_expand, np.ascontiguousarray(win_id, np.int64),
         np.ascontiguousarray(win_rank, np.int32), n_threads, out_blob,
@@ -556,3 +584,14 @@ def consensus_batch(bb_blob, bb_off, bbw_blob, win_id, win_rank, layer_off,
         1 if tgs else 0, 1 if trim else 0, match, mismatch, gap, passes,
         cand_frac, cand_min, n_threads, out_blob, out_off, out_len, out_pol)
     return out_blob, out_off, out_len, out_pol
+
+
+def poa_prof_ns():
+    """RT_POA_PROF=1 merge-phase profile readback: (build_ns, bundle_ns,
+    emit_ns) accumulated across all poa_round merges in this process."""
+    lib = get_lib()
+    lib.rt_poa_prof_ns.argtypes = [np.ctypeslib.ndpointer(
+        np.int64, flags="C_CONTIGUOUS")]
+    out = np.zeros(3, np.int64)
+    lib.rt_poa_prof_ns(out)
+    return tuple(int(x) for x in out)

@@ -318,7 +318,8 @@ void rt_poa_round_batch(
     const int32_t* curw_blob, const int64_t* layer_off, const uint8_t* lay_blob,
     const int64_t* lay_data_off, const int32_t* layw_blob,
     const int32_t* lay_span_begin, const int32_t* ops_blob,
-    const int64_t* ops_off, int32_t final_round, int32_t tgs, int32_t trim,
+    const int64_t* ops_off, const int64_t* ops_cnt, int32_t final_round,
+    int32_t tgs, int32_t trim,
     int32_t gap, double cand_frac, int32_t cand_min, int64_t max_expand,
     const int64_t* win_id, const int32_t* win_rank, int32_t n_threads,
     uint8_t* out_blob, const int64_t* out_off, int64_t* out_len,
@@ -347,7 +348,7 @@ void rt_poa_round_batch(
             v.begin = lay_span_begin[l];
             v.end = 0;  // unused when ops are given
             v.ops = reinterpret_cast<const rt::OpRun*>(ops_blob) + ops_off[l];
-            v.n_ops = ops_off[l + 1] - ops_off[l];
+            v.n_ops = ops_cnt ? ops_cnt[l] : ops_off[l + 1] - ops_off[l];
         }
         bool polished = false;
         const int64_t cap = out_off[w + 1] - out_off[w];
@@ -471,12 +472,14 @@ void rt_opstream_packed_to_ops_batch(const uint8_t* codes, int64_t n_items,
                                      int64_t max_steps, int32_t n_threads,
                                      int32_t* out_ops,
                                      const int64_t* out_ops_off,
+                                     const int64_t* out_ops_cap,
                                      int64_t* out_ops_count) {
     const int64_t stride = max_steps / 4;
     rt::parallel_for(n_items, n_threads, [&](int64_t i, int32_t) {
         const uint8_t* s = codes + i * stride;
         int32_t* dst = out_ops + out_ops_off[i] * 2;
-        const int64_t cap = out_ops_off[i + 1] - out_ops_off[i];
+        const int64_t cap =
+            out_ops_cap ? out_ops_cap[i] : out_ops_off[i + 1] - out_ops_off[i];
         int64_t cnt = 0;
         int32_t prev = -1;
         for (int64_t k = max_steps - 1; k >= 0; --k) {
@@ -501,11 +504,13 @@ void rt_opstream_packed_to_ops_batch(const uint8_t* codes, int64_t n_items,
 void rt_opstream_rle_to_ops_batch(const uint8_t* codes, int64_t n_items,
                                   int64_t max_events, int32_t n_threads,
                                   int32_t* out_ops, const int64_t* out_ops_off,
+                                  const int64_t* out_ops_cap,
                                   int64_t* out_ops_count) {
     rt::parallel_for(n_items, n_threads, [&](int64_t i, int32_t) {
         const uint8_t* s = codes + i * max_events;
         int32_t* dst = out_ops + out_ops_off[i] * 2;
-        const int64_t cap = out_ops_off[i + 1] - out_ops_off[i];
+        const int64_t cap =
+            out_ops_cap ? out_ops_cap[i] : out_ops_off[i + 1] - out_ops_off[i];
         int64_t cnt = 0;
         int32_t prev = -1;
         for (int64_t k = max_events - 1; k >= 0; --k) {
@@ -638,6 +643,18 @@ void rt_breaking_points_from_ops_batch(
             q_length[i], t_begin[i], t_end[i], window_length,
             out_quads + quad_off[i] * 4, quad_off[i + 1] - quad_off[i]);
     });
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// phase-profiling readback (RT_POA_PROF=1): build/add_path, heaviest_bundle,
+// expansion-emit nanoseconds accumulated across all merge calls
+void rt_poa_prof_ns(int64_t* out3) {
+    out3[0] = rt::g_prof_build.load();
+    out3[1] = rt::g_prof_bundle.load();
+    out3[2] = rt::g_prof_emit.load();
 }
 
 }  // extern "C"

@@ -10,12 +10,32 @@
 #include "poa.hpp"
 
 #include <algorithm>
+#include <atomic>
+#include <chrono>
+#include <cstdlib>
 
 #include "align.hpp"
 
 namespace rt {
 
+// env-gated phase profiling (RT_POA_PROF=1): nanoseconds per merge phase,
+// read back via rt_poa_prof_ns(). Atomic adds are off the hot path (once
+// per window-round), so the instrumentation is free when disabled.
+std::atomic<int64_t> g_prof_build{0}, g_prof_bundle{0}, g_prof_emit{0};
+static const bool g_prof_on = [] {
+    const char* e = std::getenv("RT_POA_PROF");
+    return e && e[0] == '1';
+}();
+
 namespace {
+
+inline int64_t prof_now() {
+    return g_prof_on ? std::chrono::duration_cast<std::chrono::nanoseconds>(
+                           std::chrono::steady_clock::now()
+                               .time_since_epoch())
+                           .count()
+                     : 0;
+}
 
 struct Node {
     uint8_t base;
@@ -398,6 +418,7 @@ int64_t poa_round(RoundState& state, int64_t n_layers, const LayerView* layers,
                   uint8_t* fin_out, int64_t fin_capacity, int64_t* fin_len,
                   bool* fin_polished, bool* converged) {
     thread_local Graph g;  // reused across windows: zero per-node heap churn
+    const int64_t t0 = prof_now();
     g.init(state.cur.data(), static_cast<int32_t>(state.cur.size()),
            state.cur_w.data());
     for (int64_t i = 0; i < n_layers; ++i) {
@@ -405,8 +426,14 @@ int64_t poa_round(RoundState& state, int64_t n_layers, const LayerView* layers,
         // ops are required here; begin holds the cur-coordinate span start
         g.add_path(L.ops, L.n_ops, L.begin, L.data, L.weights);
     }
+    const int64_t t1 = prof_now();
     thread_local std::vector<int32_t> path;
     g.heaviest_bundle(path);
+    const int64_t t2 = prof_now();
+    if (g_prof_on) {
+        g_prof_build += t1 - t0;
+        g_prof_bundle += t2 - t1;
+    }
 
     // final consensus off this round's graph: trimming per the reference
     // (src/window.cpp:118-139). warn_chimeric gates the stderr warning so
@@ -538,6 +565,7 @@ int64_t poa_round(RoundState& state, int64_t n_layers, const LayerView* layers,
     state.cur_del = std::move(new_del);
     state.cur_slots = std::move(composed);
     if (polished) *polished = false;
+    if (g_prof_on) g_prof_emit += prof_now() - t2;
     return static_cast<int64_t>(state.cur.size());
 }
 

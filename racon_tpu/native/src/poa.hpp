@@ -81,3 +81,10 @@ int64_t nw_score_align_percol(const uint8_t* q, int64_t m, const uint8_t* t,
                               std::vector<int32_t>& h_cur);
 
 }  // namespace rt
+
+#include <atomic>
+
+namespace rt {
+// env-gated merge phase profiling (see poa.cpp)
+extern std::atomic<int64_t> g_prof_build, g_prof_bundle, g_prof_emit;
+}  // namespace rt

@@ -331,7 +331,6 @@ class TpuConsensusStage:
                     break
 
         cnt = np.zeros(n_items, np.int64)
-        results = []  # (item indices, flat ops, per-item src row off, counts)
         host_parts = [np.flatnonzero(tier_id < 0)]
 
         # 3. device alignment: one fused align+walk dispatch per chunk; all
@@ -386,7 +385,7 @@ class TpuConsensusStage:
                     n_items=n_items, cur_blob=cur_blob, bb_off=bb_off,
                     lens=lens, curw_blob=curw_blob, del32=del32, sb=sb,
                     t_start=t_start, mlen=mlen, nlen=nlen, cnt=cnt,
-                    results=results, host_parts=host_parts, pending=pending)
+                    host_parts=host_parts, pending=pending)
 
     def _round_complete(self, ctx, cfg, final, tgs, consensus, polished,
                         bindings):
@@ -411,28 +410,29 @@ class TpuConsensusStage:
         mlen = ctx["mlen"]
         nlen = ctx["nlen"]
         cnt = ctx["cnt"]
-        results = ctx["results"]
         host_parts = ctx["host_parts"]
+
+        # 4. decode the op streams IN PLACE into the merge's padded per-item
+        # layout (capacity m+n+2 runs per item — a real stream never yields
+        # more): no per-chunk allocation, no assembly gather
+        ops_off2 = np.zeros(n_items + 1, np.int64)
+        np.cumsum(mlen + nlen + 2, out=ops_off2[1:])
+        ops_blob = np.empty((int(ops_off2[-1]), 2), np.int32)
         for sel, cap, w_band, fmt, payload in ctx["pending"]:
             payload = np.asarray(payload)[: len(sel)]
             codes = np.ascontiguousarray(payload[:, :-1])
             escaped = payload[:, -1] != 0
-            if fmt == "rle":
-                ops_flat, ops_off, counts = bindings.opstream_rle_to_ops_batch(
-                    codes, rle_events(cap, cap, w_band), mlen[sel],
-                    nlen[sel], thr)
-            else:
-                ops_flat, ops_off, counts = \
-                    bindings.opstream_packed_to_ops_batch(
-                        codes, walk_steps(cap, cap, w_band), mlen[sel],
-                        nlen[sel], thr)
+            budget = (rle_events(cap, cap, w_band) if fmt == "rle"
+                      else walk_steps(cap, cap, w_band))
+            decode = (bindings.opstream_rle_to_ops_batch if fmt == "rle"
+                      else bindings.opstream_packed_to_ops_batch)
+            _, _, counts = decode(codes, budget, mlen[sel], nlen[sel], thr,
+                                  dst=ops_blob, dst_off=ops_off2[:-1][sel])
             kept = ~escaped
             host_parts.append(sel[escaped])  # band escape -> host realign
             cnt[sel[kept]] = counts[kept]
-            results.append((sel[kept], ops_flat, ops_off[:-1][kept],
-                            counts[kept]))
 
-        # 4. host fallback alignment (per-column costs)
+        # host fallback alignment (per-column costs)
         host_idx = np.concatenate(host_parts)
         if len(host_idx):
             hm = mlen[host_idx]
@@ -448,17 +448,11 @@ class TpuConsensusStage:
                 qblob, qoff, cur_blob[tsel], toff, del32[tsel], cfg.match,
                 cfg.mismatch, gap, thr)
             cnt[host_idx] = counts
-            results.append((host_idx, ops_flat, ops_off[:-1], counts))
+            bindings.gather_ranges(ops_flat, ops_off[:-1], counts, thr,
+                                   dst=ops_blob,
+                                   dst_off=ops_off2[:-1][host_idx])
 
-        # 5. merge round per window (native); assemble the per-item op blob
-        # from the chunk results with vectorized gathers (no per-item python)
-        ops_off2 = np.zeros(n_items + 1, np.int64)
-        np.cumsum(cnt, out=ops_off2[1:])
-        ops_blob = np.empty((int(ops_off2[-1]), 2), np.int32)
-        for idxs, flat, soff, scnt in results:
-            if len(idxs):
-                bindings.gather_ranges(flat, soff, scnt, thr, dst=ops_blob,
-                                       dst_off=ops_off2[idxs])
+        # 5. merge round per window (native)
         capacity = 2 * lens + 512
         res = bindings.poa_round_batch(
             cur_blob, bb_off, curw_blob, st.item_off,
@@ -466,7 +460,7 @@ class TpuConsensusStage:
             sb.astype(np.int32), ops_blob, ops_off2,
             final, tgs, cfg.trim, gap, cfg.candidate_frac,
             cfg.candidate_min, max_expand, st.win_id, st.win_rank,
-            thr, capacity, with_final=not final)
+            thr, capacity, with_final=not final, ops_cnt=cnt)
         out_blob, out_off, out_len, out_del, out_slots, out_pol = res[:6]
 
         n_act = len(active)
