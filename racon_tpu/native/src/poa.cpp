@@ -37,33 +37,28 @@ inline int64_t prof_now() {
                      : 0;
 }
 
-struct Node {
-    uint8_t base;
-    int32_t col;       // backbone column, -1 for insertion nodes
-    int32_t slot;      // ordering slot (gap index for insertions)
-    int32_t coverage;
-};
-
-struct Edge {
-    int32_t tail;
-    int32_t head;
-    int64_t weight;
-};
-
 struct Graph {
-    // Flat storage + linked adjacency with TAIL insertion: list iteration
-    // follows creation order exactly like the previous vector<vector>
-    // layout (heaviest-bundle tie-breaking and rank order depend on it),
-    // but the whole graph is a handful of growable arrays, so a
-    // thread_local instance is reused across windows with zero per-node
-    // heap traffic.
+    // Structure-of-arrays storage + linked adjacency with TAIL insertion:
+    // list iteration follows creation order exactly like a vector<vector>
+    // layout (heaviest-bundle tie-breaking and rank order depend on it).
+    // SoA keeps the add_path hot loop's working set dense — the byte-wide
+    // base array and the int32 coverage array stream through cache instead
+    // of striding over 16-byte node structs. A thread_local instance is
+    // reused across windows with zero per-node heap traffic.
     int32_t backbone_len;
-    std::vector<Node> nodes;
-    std::vector<Edge> edges;
-    std::vector<int32_t> first_in, last_in, first_out, last_out;  // per node
-    std::vector<int32_t> next_in, next_out;                       // per edge
-    std::vector<int32_t> var_head, var_tail;                      // per column
-    std::vector<int32_t> node_next;  // per node: next in its variant/ins list
+    // per node
+    std::vector<uint8_t> n_base;
+    std::vector<int32_t> n_col;    // backbone column, -1 for insertion nodes
+    std::vector<int32_t> n_slot;   // ordering slot (gap index for insertions)
+    std::vector<int32_t> n_cov;
+    std::vector<int32_t> first_in, last_in, first_out, last_out;
+    std::vector<int32_t> node_next;  // next in its variant/ins list
+    // per edge
+    std::vector<int32_t> e_tail, e_head;
+    std::vector<int64_t> e_weight;
+    std::vector<int32_t> next_in, next_out;
+    // per column
+    std::vector<int32_t> var_head, var_tail;
     // insertion nodes are column-aligned per gap: ins_head[gap][depth] heads
     // a node list so identical inserted bases from different layers share one
     // node and votes concentrate (the role graph alignment plays in
@@ -73,25 +68,32 @@ struct Graph {
     std::vector<int32_t> rank_scratch, node_rank_scratch, pred_scratch;
     std::vector<int64_t> scores_scratch;
 
+    int64_t n_nodes() const { return static_cast<int64_t>(n_base.size()); }
+
     int32_t new_node(uint8_t base, int32_t col, int32_t slot) {
-        nodes.push_back({base, col, slot, 0});
+        n_base.push_back(base);
+        n_col.push_back(col);
+        n_slot.push_back(slot);
+        n_cov.push_back(0);
         first_in.push_back(-1);
         last_in.push_back(-1);
         first_out.push_back(-1);
         last_out.push_back(-1);
         node_next.push_back(-1);
-        return static_cast<int32_t>(nodes.size()) - 1;
+        return static_cast<int32_t>(n_base.size()) - 1;
     }
 
     void bump_edge(int32_t u, int32_t v, int64_t w) {
         for (int32_t e = first_out[u]; e >= 0; e = next_out[e]) {
-            if (edges[e].head == v) {
-                edges[e].weight += w;
+            if (e_head[e] == v) {
+                e_weight[e] += w;
                 return;
             }
         }
-        const int32_t e = static_cast<int32_t>(edges.size());
-        edges.push_back({u, v, w});
+        const int32_t e = static_cast<int32_t>(e_tail.size());
+        e_tail.push_back(u);
+        e_head.push_back(v);
+        e_weight.push_back(w);
         next_in.push_back(-1);
         next_out.push_back(-1);
         if (last_out[u] >= 0) next_out[last_out[u]] = e; else first_out[u] = e;
@@ -102,15 +104,40 @@ struct Graph {
 
     void init(const uint8_t* backbone, int32_t len, const int32_t* weights) {
         backbone_len = len;
-        nodes.clear();
-        edges.clear();
-        first_in.clear();
-        last_in.clear();
-        first_out.clear();
-        last_out.clear();
-        next_in.clear();
-        next_out.clear();
-        node_next.clear();
+        // bulk backbone construction (identical node/edge ids and list
+        // order to one new_node/bump_edge per column: node c = column c,
+        // edge c = (c -> c+1))
+        n_base.assign(backbone, backbone + len);
+        n_col.resize(len);
+        n_slot.resize(len);
+        for (int32_t c = 0; c < len; ++c) n_col[c] = c;
+        std::copy(n_col.begin(), n_col.end(), n_slot.begin());
+        n_cov.assign(len, 1);
+        node_next.assign(len, -1);
+        first_in.resize(len);
+        last_in.resize(len);
+        first_out.resize(len);
+        last_out.resize(len);
+        e_tail.resize(len > 0 ? len - 1 : 0);
+        e_head.resize(e_tail.size());
+        e_weight.resize(e_tail.size());
+        next_in.assign(e_tail.size(), -1);
+        next_out.assign(e_tail.size(), -1);
+        for (int32_t c = 0; c + 1 < len; ++c) {
+            e_tail[c] = c;
+            e_head[c] = c + 1;
+            e_weight[c] = int64_t(weights[c]) + weights[c + 1];
+            first_out[c] = c;
+            last_out[c] = c;
+            first_in[c + 1] = c;
+            last_in[c + 1] = c;
+        }
+        if (len > 0) {
+            first_in[0] = -1;
+            last_in[0] = -1;
+            first_out[len - 1] = -1;
+            last_out[len - 1] = -1;
+        }
         var_head.assign(len, -1);
         var_tail.assign(len, -1);
         if (static_cast<int32_t>(ins_head.size()) < len + 1) {
@@ -120,12 +147,6 @@ struct Graph {
         for (int32_t c = 0; c <= len; ++c) {
             ins_head[c].clear();
             ins_tail[c].clear();
-        }
-        nodes.reserve(len * 2);
-        for (int32_t c = 0; c < len; ++c) new_node(backbone[c], c, c);
-        for (int32_t c = 0; c < len; ++c) {
-            nodes[c].coverage += 1;
-            if (c > 0) bump_edge(c - 1, c, int64_t(weights[c - 1]) + weights[c]);
         }
     }
 
@@ -140,16 +161,43 @@ struct Graph {
             const int32_t run = ops[k].run;
             if (op != OP_INS) ins_depth = 0;
             if (op == OP_MATCH) {
-                for (int32_t u = 0; u < run; ++u) {
+                int32_t u = 0;
+                while (u < run) {
+                    // fast span: consecutive diagonal positions whose base
+                    // EQUALS the backbone base, entered from the previous
+                    // backbone node — the graph writes reduce to coverage
+                    // increments and direct-indexed backbone-edge weight
+                    // adds (init creates edge c-1 as (c-1 -> c)), with no
+                    // variant-ring or out-list scans. Bit-identical graph:
+                    // no nodes or edges are created or reordered here.
+                    if (prev == t - 1 && prev >= 0 && n_base[t] == data[q]) {
+                        int32_t d = 1;
+                        while (u + d < run &&
+                               n_base[t + d] == data[q + d]) {
+                            ++d;
+                        }
+                        for (int32_t x = 0; x < d; ++x) {
+                            n_cov[t + x] += 1;
+                        }
+                        for (int32_t x = 0; x < d; ++x) {
+                            e_weight[t + x - 1] +=
+                                int64_t(weights[q + x - 1]) + weights[q + x];
+                        }
+                        q += d;
+                        t += d;
+                        u += d;
+                        prev = t - 1;
+                        continue;
+                    }
                     const uint8_t b = data[q];
                     int32_t node;
-                    if (nodes[t].base == b) {
+                    if (n_base[t] == b) {
                         node = t;
                     } else {
                         node = -1;
                         for (int32_t v = var_head[t]; v >= 0;
                              v = node_next[v]) {
-                            if (nodes[v].base == b) {
+                            if (n_base[v] == b) {
                                 node = v;
                                 break;
                             }
@@ -161,7 +209,7 @@ struct Graph {
                             var_tail[t] = node;
                         }
                     }
-                    nodes[node].coverage += 1;
+                    n_cov[node] += 1;
                     if (prev >= 0) {
                         bump_edge(prev, node,
                                   int64_t(weights[q - 1]) + weights[q]);
@@ -169,6 +217,7 @@ struct Graph {
                     prev = node;
                     ++q;
                     ++t;
+                    ++u;
                 }
             } else if (op == OP_INS) {
                 for (int32_t u = 0; u < run; ++u) {
@@ -182,7 +231,7 @@ struct Graph {
                     }
                     int32_t node = -1;
                     for (int32_t v = heads[depth]; v >= 0; v = node_next[v]) {
-                        if (nodes[v].base == b) {
+                        if (n_base[v] == b) {
                             node = v;
                             break;
                         }
@@ -193,7 +242,7 @@ struct Graph {
                         else heads[depth] = node;
                         tails[depth] = node;
                     }
-                    nodes[node].coverage += 1;
+                    n_cov[node] += 1;
                     if (prev >= 0) {
                         bump_edge(prev, node,
                                   int64_t(weights[q - 1]) + weights[q]);
@@ -211,7 +260,7 @@ struct Graph {
     // creation) then the backbone node and its variants
     void rank_order(std::vector<int32_t>& rank) const {
         rank.clear();
-        rank.reserve(nodes.size());
+        rank.reserve(n_nodes());
         for (int32_t c = 0; c < backbone_len; ++c) {
             for (int32_t h : ins_head[c]) {
                 for (int32_t v = h; v >= 0; v = node_next[v]) rank.push_back(v);
@@ -228,7 +277,7 @@ struct Graph {
 
     // spoa-semantics heaviest bundle + branch completion
     void heaviest_bundle(std::vector<int32_t>& path) {
-        const int64_t n = static_cast<int64_t>(nodes.size());
+        const int64_t n = static_cast<int64_t>(n_nodes());
         std::vector<int32_t>& rank = rank_scratch;
         rank_order(rank);
         std::vector<int32_t>& node_rank = node_rank_scratch;
@@ -245,8 +294,8 @@ struct Graph {
         for (int64_t r = 0; r < n; ++r) {
             const int32_t v = rank[r];
             for (int32_t e = first_in[v]; e >= 0; e = next_in[e]) {
-                const int32_t u = edges[e].tail;
-                const int64_t w = edges[e].weight;
+                const int32_t u = e_tail[e];
+                const int64_t w = e_weight[e];
                 if (scores[v] < w ||
                     (scores[v] == w && scores[pred[v]] <= scores[u])) {
                     scores[v] = w;
@@ -261,9 +310,9 @@ struct Graph {
             // ban side-branch tails of the current tip, then rescore the
             // downstream ranks
             for (int32_t e = first_out[best]; e >= 0; e = next_out[e]) {
-                const int32_t head = edges[e].head;
+                const int32_t head = e_head[e];
                 for (int32_t e2 = first_in[head]; e2 >= 0; e2 = next_in[e2]) {
-                    if (edges[e2].tail != best) scores[edges[e2].tail] = -1;
+                    if (e_tail[e2] != best) scores[e_tail[e2]] = -1;
                 }
             }
             int64_t max_score = 0;
@@ -273,9 +322,9 @@ struct Graph {
                 scores[v] = -1;
                 pred[v] = -1;
                 for (int32_t e = first_in[v]; e >= 0; e = next_in[e]) {
-                    const int32_t u = edges[e].tail;
+                    const int32_t u = e_tail[e];
                     if (scores[u] == -1) continue;
-                    const int64_t w = edges[e].weight;
+                    const int64_t w = e_weight[e];
                     if (scores[v] < w ||
                         (scores[v] == w && scores[pred[v]] <= scores[u])) {
                         scores[v] = w;
@@ -298,13 +347,13 @@ struct Graph {
     }
 
     int64_t column_coverage(int32_t v) const {
-        int64_t c = nodes[v].coverage;
-        const int32_t col = nodes[v].col;
+        int64_t c = n_cov[v];
+        const int32_t col = n_col[v];
         if (col >= 0) {
             for (int32_t x = var_head[col]; x >= 0; x = node_next[x]) {
-                if (x != v) c += nodes[x].coverage;
+                if (x != v) c += n_cov[x];
             }
-            if (v != col) c += nodes[col].coverage;
+            if (v != col) c += n_cov[col];
         }
         return c;
     }
@@ -464,7 +513,7 @@ int64_t poa_round(RoundState& state, int64_t n_layers, const LayerView* layers,
         }
         int64_t n = 0;
         for (int64_t i = begin; i <= end && n < cap_; ++i) {
-            dst[n++] = g.nodes[path[i]].base;
+            dst[n++] = g.n_base[path[i]];
         }
         return n;
     };
@@ -480,7 +529,7 @@ int64_t poa_round(RoundState& state, int64_t n_layers, const LayerView* layers,
     // optional columns
     const int64_t thr = std::max<int64_t>(
         rp.cand_min, static_cast<int64_t>(rp.cand_frac * n_layers));
-    std::vector<uint8_t> on_path(g.nodes.size(), 0);
+    std::vector<uint8_t> on_path(g.n_nodes(), 0);
     for (int32_t v : path) on_path[v] = 1;
     const int32_t n_slots = g.backbone_len + 1;
     std::vector<std::vector<uint8_t>> cand(n_slots);
@@ -489,13 +538,13 @@ int64_t poa_round(RoundState& state, int64_t n_layers, const LayerView* layers,
             int32_t best = -1;
             for (int32_t v = h; v >= 0; v = g.node_next[v]) {
                 if (on_path[v]) continue;
-                if (g.nodes[v].coverage >= thr &&
+                if (g.n_cov[v] >= thr &&
                     (best < 0 ||
-                     g.nodes[v].coverage > g.nodes[best].coverage)) {
+                     g.n_cov[v] > g.n_cov[best])) {
                     best = v;
                 }
             }
-            if (best >= 0) cand[s].push_back(g.nodes[best].base);
+            if (best >= 0) cand[s].push_back(g.n_base[best]);
         }
     }
     const int64_t max_len =
@@ -517,10 +566,10 @@ int64_t poa_round(RoundState& state, int64_t n_layers, const LayerView* layers,
         }
     };
     for (int32_t v : path) {
-        const int32_t s = g.nodes[v].slot;
+        const int32_t s = g.n_slot[v];
         emit_cands_upto(s);
         if (static_cast<int64_t>(new_seq.size()) >= max_len) break;
-        new_seq.push_back(g.nodes[v].base);
+        new_seq.push_back(g.n_base[v]);
         new_del.push_back(gap);
         new_slots_local.push_back(s);
     }
