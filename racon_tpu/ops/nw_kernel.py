@@ -835,7 +835,15 @@ def walk_moves_rle_t(moves, m, n, *, m_cap, n_cap, w_band, max_events):
     escaped (B,) bool). Event bytes: RLE_SKIP, 1..16 diagonal run,
     RLE_UP / RLE_LEFT single indel steps. Decoded by the host's
     rt_opstream_rle_to_ops_batch into the same forward op lists as the
-    2-bit stream decoder."""
+    2-bit stream decoder (RLE_SKIP bytes are ignored, so interior padding
+    is harmless).
+
+    Each iteration consumes up to TWO events: a diagonal run, then the
+    indel that follows it when its move bits live in the SAME word (same
+    band lane, run not reaching the word's bottom group). The per-iteration
+    cost is dominated by the (slots*W, B) per-lane gather, so fusing the
+    run+indel pair — the common pattern at ONT error rates — nearly halves
+    the walk's device time."""
     B = moves.shape[2]
     W = w_band
     dlo = band_dlo(m_cap, n_cap, W)
@@ -878,19 +886,44 @@ def walk_moves_rle_t(moves, m, n, *, m_cap, n_cap, w_band, max_events):
                        jnp.where(d > 0, d, jnp.where(mv == 1, 1, 0)))
         dj = jnp.where(esc | at_origin, 0,
                        jnp.where(d > 0, d, jnp.where(mv == 2, 1, 0)))
-        return (i - di, j - dj, esc), out
+        i1 = i - di
+        j1 = j - dj
+
+        # fused second event: after a run of d, the next position (i1, j1)
+        # sits at the SAME lane k, group p - d of the SAME word when d <= p.
+        # Replays the single-step move logic with the already-loaded word;
+        # anything not consumable here (word drained, pad move, origin) is
+        # simply left for the next iteration, whose own logic handles it.
+        at_origin2 = (i1 == 0) & (j1 == 0)
+        interior2 = (i1 > 0) & (j1 > 0)
+        p2 = p - d
+        mv2 = (word >> (2 * jnp.maximum(p2, 0))) & 3
+        mv2 = jnp.where(i1 == 0, 2, mv2)
+        mv2 = jnp.where((j1 == 0) & (i1 > 0), 1, mv2)
+        # border positions force an indel without reading word bits, so
+        # they are consumable even when the run drained the word
+        take2 = (~esc & (d > 0) & ~at_origin2
+                 & (~interior2 | ((p2 >= 0)
+                                  & ((mv2 == 1) | (mv2 == 2)))))
+        out2 = jnp.where(mv2 == 1, RLE_UP, RLE_LEFT)
+        out2 = jnp.where(take2, out2, RLE_SKIP).astype(jnp.uint8)
+        di2 = jnp.where(take2 & (mv2 == 1), 1, 0)
+        dj2 = jnp.where(take2 & (mv2 == 2), 1, 0)
+        return (i1 - di2, j1 - dj2, esc), (out, out2)
 
     buf0 = jnp.full((max_events, B), RLE_SKIP, jnp.uint8)
 
     def cond(carry):
         s, i, j, escaped, _ = carry
-        return (s < max_events) & jnp.any(((i != 0) | (j != 0)) & ~escaped)
+        return (s + 1 < max_events) & jnp.any(((i != 0) | (j != 0))
+                                              & ~escaped)
 
     def body(carry):
         s, i, j, escaped, buf = carry
-        (i2, j2, esc2), out = step((i, j, escaped))
-        buf = jax.lax.dynamic_update_slice(buf, out[None, :], (s, 0))
-        return (s + 1, i2, j2, esc2, buf)
+        (i2, j2, esc2), (out, out2) = step((i, j, escaped))
+        buf = jax.lax.dynamic_update_slice(
+            buf, jnp.stack([out, out2]), (s, 0))
+        return (s + 2, i2, j2, esc2, buf)
 
     init = (jnp.int32(0), m, n, jnp.zeros((B,), bool), buf0)
     _, fi, fj, escaped, outs = jax.lax.while_loop(cond, body, init)
