@@ -91,6 +91,8 @@ def main():
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--threads", type=int, default=os.cpu_count() or 4)
     ap.add_argument("--workdir", default="/tmp/racon_tpu_genome_scale")
+    ap.add_argument("--verbose", action="store_true",
+                    help="show the per-stage logger timers on stderr")
     a = ap.parse_args()
 
     os.makedirs(a.workdir, exist_ok=True)
@@ -108,11 +110,15 @@ def main():
     p = create_polisher(os.path.join(a.workdir, "reads.fasta"),
                         os.path.join(a.workdir, "ovl.paf"),
                         os.path.join(a.workdir, "draft.fasta"), cfg)
+    quiet = (contextlib.nullcontext() if a.verbose
+             else contextlib.redirect_stderr(io.StringIO()))
     t0 = time.time()
-    with contextlib.redirect_stderr(io.StringIO()):
+    with quiet:
         p.initialize()
     t1 = time.time()
-    with contextlib.redirect_stderr(io.StringIO()):
+    quiet = (contextlib.nullcontext() if a.verbose
+             else contextlib.redirect_stderr(io.StringIO()))
+    with quiet:
         out = p.polish(drop_unpolished_sequences=True)
     t2 = time.time()
     polished = out[0][1]

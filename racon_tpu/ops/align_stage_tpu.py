@@ -20,12 +20,12 @@ from .nw_kernel import (align_walk_padded, encode, rle_events, walk_steps,
 
 # canonical (cap, band) tiers; items beyond the last tier go to the host.
 # Few tiers on purpose: every distinct compiled shape costs ~2s of
-# executable load per process on a tethered chip. Wide bands on the long
-# tiers keep ONT-scale indel drift on the device instead of the host
-# fallback (band//2-64 margin per tier); the 4096-band tiers catch
-# high-drift overlaps (error-threshold 0.3 allows |qspan-tspan| up to 30%)
-# that would otherwise serialize on the host aligner.
-_TIERS = ((2560, 512), (10240, 2048), (40960, 2048), (10240, 4096),
+# executable load per process on a tethered chip. The 1024-band long tiers
+# ride the transposed big-tier kernel (nw_kernel.t_big_fits caps the fast
+# path at W=1024 — Mosaic's 16 MB scoped-vmem stack); the 4096-band tiers
+# catch high-drift overlaps (error-threshold 0.3 allows |qspan-tspan| up
+# to 30%) on the lane-major kernel rather than the serial host aligner.
+_TIERS = ((2560, 512), (10240, 1024), (40960, 1024), (10240, 4096),
           (40960, 4096))
 def _chunk_size(cap: int, band: int) -> int:
     # overlap slices are long: cap chunks at 1024 items (HBM budget shared
@@ -113,14 +113,60 @@ class TpuAlignStage:
         all_ops: list[np.ndarray | None] = [None] * len(indices)
         all_counts = np.zeros(len(indices), np.int64)
 
-        # one fused align+walk dispatch per chunk; dispatch everything, then
-        # fetch in order so transfers/compute/drain pipeline (async dispatch)
-        pending = []
+        # one fused align+walk dispatch per chunk, with the number of
+        # in-flight chunks THROTTLED by their device-HBM footprint (packed
+        # move planes + the big-tier kernel's pre-windowed panels): letting
+        # every chunk queue at once can demand more HBM than the chip has,
+        # and the resulting allocator pressure serializes the pipeline 10x
+        # slower than draining as we go. Draining also overlaps the host
+        # decode with the next chunk's device compute.
+        from collections import deque
+
+        pending: deque = deque()
+        inflight = [0]
+        _HBM_INFLIGHT = 4 << 30
+
+        def _chunk_hbm(cap, band, k):
+            moves = (cap // 16) * band * 4 * k
+            win = 2 * (cap // 128) * (band + 256) * 4 * k
+            return moves + win
+
+        def _drain_one():
+            sel, cap, band, fmt, payload, hbm = pending.popleft()
+            inflight[0] -= hbm
+            payload = np.asarray(payload)[: len(sel)]
+            codes = np.ascontiguousarray(payload[:, :-1])
+            escaped = payload[:, -1] != 0
+            if fmt == "rle":
+                ops_flat, ops_off, counts = \
+                    bindings.opstream_rle_to_ops_batch(
+                        codes, rle_events(cap, cap, band), mlen[sel],
+                        nlen[sel], thr)
+            else:
+                ops_flat, ops_off, counts = \
+                    bindings.opstream_packed_to_ops_batch(
+                        codes, walk_steps(cap, cap, band), mlen[sel],
+                        nlen[sel], thr)
+            for bi, z in enumerate(sel):
+                if escaped[bi]:
+                    host.append(z)
+                else:
+                    o = int(ops_off[bi])
+                    all_ops[z] = ops_flat[o : o + int(counts[bi])]
+                    all_counts[z] = counts[bi]
+            logger.bar("[racon::Polisher::initialize] aligning overlaps")
+
         for ti, (cap, band) in enumerate(tiers):
             members = np.flatnonzero(tier_id == ti)
+            # sort by length: chunk items then walk in near-lockstep, so
+            # the device traceback's early-exit while_loop finishes sooner
+            members = members[np.argsort(mlen[members], kind="stable")]
             step = _chunk_size(cap, band)
             for c0 in range(0, len(members), step):
                 sel = members[c0 : c0 + step]
+                hbm = _chunk_hbm(cap, band, len(sel))
+                while pending and inflight[0] + hbm > _HBM_INFLIGHT:
+                    _drain_one()
                 q4 = bindings.pack_rows_nib(qenc, qoff_all[sel],
                                             qoff_all[sel] + mlen[sel], cap,
                                             PAD_CODE, thr)
@@ -139,28 +185,10 @@ class TpuAlignStage:
                     fixed_b=step if cap >= 5120 else None, prepacked=True)
                 if hasattr(payload, "copy_to_host_async"):
                     payload.copy_to_host_async()  # overlap D2H with compute
-                pending.append((sel, cap, band, fmt, payload))
-        for sel, cap, band, fmt, payload in pending:
-            payload = np.asarray(payload)[: len(sel)]
-            codes = np.ascontiguousarray(payload[:, :-1])
-            escaped = payload[:, -1] != 0
-            if fmt == "rle":
-                ops_flat, ops_off, counts = bindings.opstream_rle_to_ops_batch(
-                    codes, rle_events(cap, cap, band), mlen[sel], nlen[sel],
-                    thr)
-            else:
-                ops_flat, ops_off, counts = \
-                    bindings.opstream_packed_to_ops_batch(
-                        codes, walk_steps(cap, cap, band), mlen[sel],
-                        nlen[sel], thr)
-            for bi, z in enumerate(sel):
-                if escaped[bi]:
-                    host.append(z)
-                else:
-                    o = int(ops_off[bi])
-                    all_ops[z] = ops_flat[o : o + int(counts[bi])]
-                    all_counts[z] = counts[bi]
-            logger.bar("[racon::Polisher::initialize] aligning overlaps")
+                pending.append((sel, cap, band, fmt, payload, hbm))
+                inflight[0] += hbm
+        while pending:
+            _drain_one()
 
         if host:
             hz = np.asarray(host, np.int64)

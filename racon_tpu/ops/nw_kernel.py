@@ -462,7 +462,9 @@ def align_walk_padded(q8, t8, dc8, m, n, *, m_cap, n_cap, w_band, match,
         dcb = np.pad(dcb, ((0, pad), (0, 0)), constant_values=0xFF)
         m = np.pad(np.asarray(m), (0, pad))
         n = np.pad(np.asarray(n), (0, pad))
-    use_rle = (not interpret and t_kernel_fits(m_cap, n_cap, w_band)
+    use_rle = (not interpret
+               and (t_kernel_fits(m_cap, n_cap, w_band)
+                    or t_big_fits(m_cap, n_cap, w_band))
                and bp % B_LANE == 0)
     fmt = "rle" if use_rle else "packed2"
     if mesh is not None:
@@ -746,6 +748,190 @@ def nw_band_batch_t8(qT, tpT, dcpT, *, m_cap, n_cap, w_band, match, mismatch,
     )(qT, tpT, dcpT)
 
 
+# ---------------------------------------------------------------------- #
+# big-tier transposed kernel: same DP as _nw_band_kernel_t8, but sized for
+# caps/bands whose full (rows, B_LANE) panels blow the VMEM budget (the
+# overlap-alignment tiers, cap up to 40960 / W up to 4096). The target/cost
+# panels are PRE-WINDOWED on the XLA side into per-row-group overlapping
+# slabs (one gather; the ~17x HBM redundancy costs ~1 ms per chunk at
+# 819 GB/s), so every pallas block is small: q rows per 16-row pack step,
+# one (W+_GROUP+_PACK, B_LANE) window per group, one (W, B_LANE) move plane
+# per pack step (grid is 3-D with the pack step minor).
+# ---------------------------------------------------------------------- #
+
+_WIN_PAD = _GROUP + _PACK  # window rows beyond W per group
+
+
+def _window_rows(m_cap: int, n_cap: int, w_band: int) -> int:
+    return w_band + _WIN_PAD
+
+
+def _build_group_windows(panelT, m_cap: int, n_cap: int, w_band: int):
+    """(n_cap + 2W, B) panel -> (groups, W + _WIN_PAD, B) overlapping
+    row-group windows: window g starts at panel row g*_GROUP + W + dlo."""
+    W = w_band
+    dlo = band_dlo(m_cap, n_cap, W)
+    groups = m_cap // _GROUP
+    base = (jnp.arange(groups, dtype=jnp.int32) * _GROUP + W + dlo)
+    rows = base[:, None] + jnp.arange(_window_rows(m_cap, n_cap, W),
+                                      dtype=jnp.int32)[None, :]
+    rows = jnp.clip(rows, 0, panelT.shape[0] - 1)
+    return panelT[rows]
+
+
+def _nw_band_kernel_t8big(q_ref, tpw_ref, dcw_ref, moves_ref, score_ref,
+                          hscr, gscr, *, m_cap, n_cap, w_band, match,
+                          mismatch, gap):
+    """q (16, BT) rows of this pack step; tpw/dcw (1, W+_WIN_PAD, BT) this
+    GROUP's pre-windowed target/cost rows (pallas reuses the block across
+    the 8 pack steps of a group); moves (1, W, BT) this step's plane.
+    hscr/gscr carry H and the gc register across the minor grid dims."""
+    W = w_band
+    BT = q_ref.shape[1]
+    dlo = band_dlo(m_cap, n_cap, W)
+    n_groups = m_cap // _GROUP
+    packs = _GROUP // _PACK
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (W, BT), 0)
+    g = pl.program_id(1)
+    p = pl.program_id(2)
+
+    @pl.when((g == 0) & (p == 0))
+    def _():
+        L = dcw_ref[0, pl.ds(0, W), :].astype(jnp.int32)
+        inc = L
+        s = 1
+        while s < W:
+            r = pltpu.roll(inc, s, 0)
+            inc = inc + jnp.where(kcol < s, 0, r)
+            s *= 2
+        E = inc - L
+        j0 = dlo + kcol
+        hscr[...] = jnp.where((j0 >= 0) & (j0 <= n_cap), E, NEG)
+        gscr[...] = inc
+
+    hp = hscr[...]
+    R = gscr[...]
+    pack = jnp.zeros((W, BT), jnp.int32)
+    for u in range(_PACK):
+        i = g * _GROUP + p * _PACK + u + 1
+        loc = p * _PACK + u  # window-local row offset
+        t_row = tpw_ref[0, pl.ds(loc, W), :]
+        qi = q_ref[pl.ds(u, 1), :]
+        gc_here = R
+        jrow = i + dlo + kcol
+        valid = (jrow >= 1) & (jrow <= n_cap)
+        same = t_row == qi
+        one_pad = (t_row == PAD_CODE) ^ (qi == PAD_CODE)
+        sub = jnp.where(one_pad, NEG, jnp.where(same, match, mismatch))
+        diag_c = hp + sub
+        up = pltpu.roll(hp, W - 1, 0)
+        up_c = jnp.where(kcol == W - 1, NEG, up) + gap
+        cand = jnp.maximum(diag_c, up_c)
+        cand = jnp.where(jrow == 0, i * gap, cand)
+        cand = jnp.where(valid | (jrow == 0), cand, NEG)
+        a = cand - gc_here
+        s = 1
+        while s < W:
+            r = pltpu.roll(a, s, 0)
+            a = jnp.maximum(a, jnp.where(kcol < s, 2 * NEG, r))
+            s *= 2
+        h = a + gc_here
+        h = jnp.where(valid | (jrow == 0), h, NEG)
+        mv = jnp.where(h == diag_c, 0, jnp.where(h == up_c, 1, 2))
+        mv = jnp.where(valid, mv, 3)
+        pack = pack | (mv << (2 * u))
+        hp = h
+        top = jax.lax.slice(R, (W - 1, 0), (W, BT))
+        dcrow = dcw_ref[0, pl.ds(loc + W, 1), :].astype(jnp.int32)
+        R = pltpu.roll(R, W - 1, 0)
+        R = jnp.where(kcol == W - 1, top + dcrow, R)
+    moves_ref[...] = pack[None]
+    hscr[...] = hp
+    gscr[...] = R
+
+    @pl.when((g == n_groups - 1) & (p == packs - 1))
+    def _():
+        k_end = n_cap - m_cap - dlo
+        score_ref[...] = jax.lax.slice(hp, (k_end, 0), (k_end + 1, BT))
+
+
+def nw_band_batch_t8big(qT, tpT, dcpT, *, m_cap, n_cap, w_band, match,
+                        mismatch, gap, interpret=False):
+    """Big-tier twin of nw_band_batch_t8 (same inputs, same outputs,
+    bit-identical moves/score): pre-windows the panels per row group and
+    runs the 3-D-grid kernel whose VMEM blocks stay small at any tier."""
+    B = qT.shape[1]
+    assert B % B_LANE == 0 and m_cap % _GROUP == 0
+    assert band_dlo(m_cap, n_cap, w_band) <= 0
+    W = w_band
+    groups = m_cap // _GROUP
+    packs = _GROUP // _PACK
+    win = _window_rows(m_cap, n_cap, W)
+    tpw = _build_group_windows(tpT, m_cap, n_cap, W)
+    dcw = _build_group_windows(dcpT, m_cap, n_cap, W)
+    kernel = functools.partial(_nw_band_kernel_t8big, m_cap=m_cap,
+                               n_cap=n_cap, w_band=W, match=match,
+                               mismatch=mismatch, gap=gap)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // B_LANE, groups, packs),
+        out_shape=(
+            jax.ShapeDtypeStruct((m_cap // _PACK, W, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec((_PACK, B_LANE), lambda b, g, p: (g * packs + p, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, win, B_LANE), lambda b, g, p: (g, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, win, B_LANE), lambda b, g, p: (g, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, W, B_LANE), lambda b, g, p: (g * packs + p, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B_LANE), lambda b, g, p: (0, b),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((W, B_LANE), jnp.int32),
+            pltpu.VMEM((W, B_LANE), jnp.int32),
+        ],
+        interpret=interpret,
+    )(qT, tpw, dcw)
+
+
+def t_big_fits(m_cap: int, n_cap: int, w_band: int) -> bool:
+    """Eligibility of the big-tier kernel. Every VMEM consumer scales with
+    W only (double-buffered windows + move plane, two scratch registers,
+    and the DP body's live (W, B_LANE) temporaries): Mosaic reports
+    ~16.1 MB of scoped vmem at W=1024 (fits the 16 MB stack limit) and
+    ~32.3 MB at W=2048 (rejected), so the bound is simply W <= 1024."""
+    return (m_cap % _GROUP == 0
+            and band_dlo(m_cap, n_cap, w_band) <= 0
+            and w_band <= 1024)
+
+
+def align_walk_packed_core_rle_tbig(q4, t4, dcb, m, n, *, m_cap, n_cap,
+                                    w_band, match, mismatch, gap,
+                                    interpret=False):
+    """align_walk_packed_core_rle_t with the big-tier kernel (same payload
+    format and values)."""
+    W = w_band
+    qT, tpT, dcpT = _prep_panels_t8(q4, t4, dcb, m_cap=m_cap, n_cap=n_cap,
+                                    w_band=W, gap=gap)
+    moves, score = nw_band_batch_t8big(qT, tpT, dcpT, m_cap=m_cap,
+                                       n_cap=n_cap, w_band=W, match=match,
+                                       mismatch=mismatch, gap=gap,
+                                       interpret=interpret)
+    events, escaped = walk_moves_rle_t(
+        moves, m, n, m_cap=m_cap, n_cap=n_cap, w_band=W,
+        max_events=rle_events(m_cap, n_cap, W))
+    payload = jnp.concatenate([events, escaped[:, None].astype(jnp.uint8)],
+                              axis=1)
+    return payload, score.T
+
+
 @functools.partial(jax.jit, static_argnames=("m_cap", "n_cap", "w_band",
                                              "max_steps", "packed"))
 def walk_moves_device_t(moves, m, n, *, m_cap, n_cap, w_band, max_steps,
@@ -953,7 +1139,11 @@ def align_walk_packed_core_rle_t(q4, t4, dcb, m, n, *, m_cap, n_cap, w_band,
                                              "match", "mismatch", "gap"))
 def align_walk_rle_batch(q4, t4, dcb, m, n, *, m_cap, n_cap, w_band, match,
                          mismatch, gap):
-    return align_walk_packed_core_rle_t(
+    if t_kernel_fits(m_cap, n_cap, w_band):
+        return align_walk_packed_core_rle_t(
+            q4, t4, dcb, m, n, m_cap=m_cap, n_cap=n_cap, w_band=w_band,
+            match=match, mismatch=mismatch, gap=gap)
+    return align_walk_packed_core_rle_tbig(
         q4, t4, dcb, m, n, m_cap=m_cap, n_cap=n_cap, w_band=w_band,
         match=match, mismatch=mismatch, gap=gap)
 

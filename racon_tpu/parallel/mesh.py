@@ -32,8 +32,9 @@ except ImportError:  # pragma: no cover - older jax
 
 from ..ops.nw_kernel import (align_walk_gather_core, align_walk_gather_core_t,
                              align_walk_packed_core, align_walk_packed_core_t,
-                             align_walk_packed_core_rle_t, nw_band_batch,
-                             nw_band_batch_ref, t_kernel_fits,
+                             align_walk_packed_core_rle_t,
+                             align_walk_packed_core_rle_tbig, nw_band_batch,
+                             nw_band_batch_ref, t_big_fits, t_kernel_fits,
                              walk_moves_device, B_LANE)
 
 
@@ -133,9 +134,14 @@ def sharded_align_walk(mesh: Mesh, q4, t4, dcb, m, n, *, m_cap, n_cap,
             # shapes are trace-time constants, so this picks per batch shape
             eligible = (not interpret and t_kernel_fits(m_cap, n_cap, w_band)
                         and q4s.shape[0] % B_LANE == 0)
+            big = (not interpret and t_big_fits(m_cap, n_cap, w_band)
+                   and q4s.shape[0] % B_LANE == 0)
             if rle:
-                assert eligible, "rle payloads need the transposed kernel"
-                return align_walk_packed_core_rle_t(
+                assert eligible or big, ("rle payloads need a transposed "
+                                         "kernel")
+                core = (align_walk_packed_core_rle_t if eligible
+                        else align_walk_packed_core_rle_tbig)
+                return core(
                     q4s, t4s, dcbs, ms, ns, m_cap=m_cap, n_cap=n_cap,
                     w_band=w_band, match=match, mismatch=mismatch, gap=gap)
             if eligible:

@@ -266,3 +266,57 @@ def test_packed_transposed_core_matches_row_core():
                                             interpret=True, **kw)
     np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
     np.testing.assert_array_equal(np.asarray(got_s), np.asarray(want_s))
+
+
+def test_bigtier_core_matches_row_core():
+    """The big-tier (pre-windowed, 3-D grid) transposed core — used for
+    overlap-alignment caps whose panels exceed the VMEM budget — must
+    produce the exact payload/score of the lane-major packed core."""
+    import functools
+    import numpy as np
+    from racon_tpu.ops.nw_kernel import (
+        PAD_CODE, align_walk_packed_core, align_walk_packed_core_rle_tbig,
+        align_walk_packed_core_rle_t, nw_band_batch, pack_codes4,
+        pack_delbits, rle_events, walk_steps)
+    from racon_tpu.native import bindings
+
+    rng = np.random.default_rng(31)
+    cap, band, gap = 256, 128, -1
+    B = 128
+    m = rng.integers(40, cap, B).astype(np.int32)
+    n = np.clip(m + rng.integers(-30, 30, B), 1, cap).astype(np.int32)
+    q8 = np.full((B, cap), PAD_CODE, np.int8)
+    t8 = np.full((B, cap), PAD_CODE, np.int8)
+    dc8 = np.full((B, cap), gap, np.int8)
+    for i in range(B):
+        q8[i, : m[i]] = rng.integers(0, 5, m[i])
+        L = min(m[i], n[i])
+        t8[i, : n[i]] = rng.integers(0, 5, n[i])
+        t8[i, :L] = q8[i, :L]
+        errs = rng.choice(L, max(1, L // 8), replace=False)
+        t8[i, errs] = rng.integers(0, 5, len(errs))
+    q4, t4, dcb = pack_codes4(q8), pack_codes4(t8), pack_delbits(dc8)
+    kw = dict(m_cap=cap, n_cap=cap, w_band=band, match=0, mismatch=-1,
+              gap=gap)
+    big_p, big_s = align_walk_packed_core_rle_tbig(q4, t4, dcb, m, n,
+                                                   interpret=True, **kw)
+    # compare via DECODED ops against the lane-major core (payload byte
+    # layouts may differ in SKIP padding, decoded op lists may not)
+    ref_p, ref_s = align_walk_packed_core(
+        q4, t4, dcb, m, n,
+        nw_fn=functools.partial(nw_band_batch, interpret=True), **kw)
+    np.testing.assert_array_equal(np.asarray(big_s), np.asarray(ref_s))
+    big_p = np.asarray(big_p)
+    assert not big_p[:, -1].any(), "unexpected band escape"
+    ops_b, off_b, cnt_b = bindings.opstream_rle_to_ops_batch(
+        np.ascontiguousarray(big_p[:, :-1]), rle_events(cap, cap, band),
+        m, n, 2)
+    ref_p = np.asarray(ref_p)
+    ops_r, off_r, cnt_r = bindings.opstream_packed_to_ops_batch(
+        np.ascontiguousarray(ref_p[:, :-1]), walk_steps(cap, cap, band),
+        m, n, 2)
+    np.testing.assert_array_equal(cnt_b, cnt_r)
+    for i in range(B):
+        np.testing.assert_array_equal(
+            ops_b[int(off_b[i]) : int(off_b[i]) + int(cnt_b[i])],
+            ops_r[int(off_r[i]) : int(off_r[i]) + int(cnt_r[i])])
