@@ -906,7 +906,15 @@ def t_big_fits(m_cap: int, n_cap: int, w_band: int) -> bool:
     W only (double-buffered windows + move plane, two scratch registers,
     and the DP body's live (W, B_LANE) temporaries): Mosaic reports
     ~16.1 MB of scoped vmem at W=1024 (fits the 16 MB stack limit) and
-    ~32.3 MB at W=2048 (rejected), so the bound is simply W <= 1024."""
+    ~32.3 MB at W=2048 (rejected), so the bound is simply W <= 1024.
+    RACON_TPU_BIGTIER=0 forces the lane-major fallback instead — on
+    tethered chips whose remote compile/load service is slow, a one-shot
+    CLI run can come out ahead loading the (10x cheaper) lane-major
+    program even though it executes ~2x slower."""
+    import os
+
+    if os.environ.get("RACON_TPU_BIGTIER", "1") == "0":
+        return False
     return (m_cap % _GROUP == 0
             and band_dlo(m_cap, n_cap, w_band) <= 0
             and w_band <= 1024)
