@@ -318,21 +318,26 @@ _T_VMEM_LIMIT = 12 << 20  # scoped-vmem budget for the transposed kernel
 
 
 def t_kernel_fits(m_cap: int, n_cap: int, w_band: int) -> bool:
-    """Whether the transposed (sublane-band) int8 kernel's per-grid-step
-    VMEM footprint fits the scoped budget: it loads full (rows, B_LANE)
-    int8 panels plus the int32 move block and two int32 scratch registers;
-    oversized tiers fall back to the lane-major kernel (whose blocks are
-    (B_TILE, ...) and stay small). It also needs dlo <= 0 (in-kernel gc
-    integration starts its scan at band lane 0 — see _nw_band_kernel_t8)."""
+    """Whether the full-panel transposed kernel fits Mosaic's 16 MB
+    scoped-vmem stack. Footprint model calibrated against Mosaic's own
+    reports: double-buffered in/out blocks (pallas pipelining) + the two
+    scratch registers + ~13 live (W, B_LANE) int32 temporaries in the DP
+    body — (2560, 512) reports 16.83 MB (rejected at runtime-compile),
+    (640, 128) and (1280, 256) compile. Shapes over the budget route to
+    the pre-windowed big-tier kernel (t_big_fits) whose blocks stay small,
+    or to the lane-major kernel beyond that. Also needs dlo <= 0 (the
+    in-kernel gc scan starts at band lane 0 — see _nw_band_kernel_t8)."""
     per_lane = 4 * B_LANE
     qt = m_cap * per_lane
     tp = (n_cap + 2 * w_band) * per_lane
     dcp = (n_cap + 2 * w_band) * per_lane
     moves = (_GROUP // _PACK) * w_band * per_lane
     scratch = 2 * w_band * per_lane
+    temps = 13 * w_band * per_lane
+    total = 2 * (qt + tp + dcp + moves) + scratch + temps
     return (m_cap % _GROUP == 0
             and band_dlo(m_cap, n_cap, w_band) <= 0
-            and (qt + tp + dcp + moves + scratch) <= _T_VMEM_LIMIT)
+            and total <= _T_VMEM_LIMIT)
 
 
 def _expand_nib_T(x4T, rows: int):
