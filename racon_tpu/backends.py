@@ -75,6 +75,17 @@ class PyAlignStage:
 
     def breaking_points(self, overlaps, indices, sequences, window_length,
                         logger) -> list[np.ndarray]:
+        # the oracle is full-matrix O(m*n) per overlap: real datasets take
+        # hours. Warn instead of silently hanging (use native/tpu for speed)
+        cells = sum(
+            (int(overlaps.q_end[i]) - int(overlaps.q_begin[i]))
+            * (int(overlaps.t_end[i]) - int(overlaps.t_begin[i]))
+            for i in indices)
+        if cells > 2 * 10**9:
+            sys.stderr.write(
+                "[racon::] warning: python oracle backend selected for "
+                f"{len(indices)} overlaps (~{cells / 1e9:.1f}G DP cells); "
+                "this may take hours — use --backend native or tpu\n")
         out = []
         step = max(1, len(indices) // 20)
         for k, i in enumerate(indices):
@@ -109,6 +120,11 @@ class PyConsensusStage:
         consensus: list[bytes] = []
         polished: list[bool] = []
         tgs = windows.window_type == WINDOW_TYPE_TGS
+        if len(windows.lay_win) > 50_000:
+            sys.stderr.write(
+                "[racon::] warning: python oracle backend selected for "
+                f"{windows.num_windows} windows / {windows.num_layers} "
+                "layers; this may take hours — use --backend native or tpu\n")
         step = max(1, windows.num_windows // 20)
         for wi in range(windows.num_windows):
             layers = []

@@ -8,7 +8,7 @@ from __future__ import annotations
 import argparse
 import sys
 
-from . import __version__
+from . import RACON_VERSION
 from .errors import RaconError
 from .models.polish_model import PolisherConfig, PolisherType
 from .polisher import create_polisher
@@ -128,7 +128,7 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("-w", "--window-length", type=int, default=500)
     parser.add_argument("-q", "--quality-threshold", type=float, default=10.0)
     parser.add_argument("-e", "--error-threshold", type=float, default=0.3)
-    parser.add_argument("-T", "--no-trimming", action="store_true")
+    parser.add_argument("--no-trimming", action="store_true")
     parser.add_argument("-m", "--match", type=int, default=3)
     parser.add_argument("-x", "--mismatch", type=int, default=-5)
     parser.add_argument("-g", "--gap", type=int, default=-4)
@@ -159,7 +159,8 @@ def main(argv: list[str] | None = None) -> int:
         return 1
 
     if args.version:
-        print(f"v{__version__}")
+        # the racon contract version this CLI implements (main.cpp:143-145)
+        print(f"v{RACON_VERSION}")
         return 0
     if args.help:
         print(HELP, end="")

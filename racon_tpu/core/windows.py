@@ -33,8 +33,8 @@ class WindowSet:
 
         # per-target window ranges (reference: id_to_first_window_id)
         tlens = sequences.lengths()[:targets_size]
-        counts = np.maximum(1, -(-tlens // window_length))  # >=1 per target
-        # reference emits ceil(len/w) windows (loop j=0; j<len; j+=w)
+        # reference emits ceil(len/w) windows (loop j=0; j<len; j+=w);
+        # a zero-length target therefore gets zero windows
         counts = -(-tlens // window_length)
         self.first_window_id = np.zeros(targets_size + 1, dtype=np.int64)
         np.cumsum(counts, out=self.first_window_id[1:])

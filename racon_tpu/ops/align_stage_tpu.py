@@ -131,6 +131,8 @@ class TpuAlignStage:
             win = 2 * (cap // 128) * (band + 256) * 4 * k
             return moves + win
 
+        done = [0]  # completed items, for honest 20-bin progress
+
         def _drain_one():
             sel, cap, band, fmt, payload, hbm = pending.popleft()
             inflight[0] -= hbm
@@ -154,7 +156,10 @@ class TpuAlignStage:
                     o = int(ops_off[bi])
                     all_ops[z] = ops_flat[o : o + int(counts[bi])]
                     all_counts[z] = counts[bi]
-            logger.bar("[racon::Polisher::initialize] aligning overlaps")
+            done[0] += len(sel) - int(escaped.sum())
+            logger.bar_progress(
+                "[racon::Polisher::initialize] aligning overlaps",
+                done[0], len(indices))
 
         for ti, (cap, band) in enumerate(tiers):
             members = np.flatnonzero(tier_id == ti)
@@ -222,6 +227,6 @@ class TpuAlignStage:
         for z in range(len(indices)):
             o = int(quad_off[z])
             out.append(quads[o : o + int(qcounts[z])].copy())
-        for _ in range(20):
-            logger.bar("[racon::Polisher::initialize] aligning overlaps")
+        logger.bar_progress("[racon::Polisher::initialize] aligning overlaps",
+                            len(indices), len(indices))
         return out

@@ -221,6 +221,8 @@ class TpuConsensusStage:
 
         pend = [None] * len(cohorts)
         pass_no = [0] * len(cohorts)
+        total_units = len(active) * passes  # window-rounds, for progress
+        done_units = 0
         for ci, co in enumerate(cohorts):
             pend[ci] = self._round_dispatch(windows, cfg, co.active, co.st,
                                             co.state, max_expand, bindings)
@@ -233,7 +235,12 @@ class TpuConsensusStage:
                                                consensus, polished, bindings)
                 pend[ci] = None
                 pass_no[ci] += 1
-                logger.bar("[racon::Polisher::polish] generating consensus")
+                done_units += len(co.active)
+                if retired:  # converged: their remaining rounds are done too
+                    done_units += len(retired) * (passes - pass_no[ci])
+                logger.bar_progress(
+                    "[racon::Polisher::polish] generating consensus",
+                    done_units, total_units)
                 if pass_no[ci] >= passes:
                     continue
                 if retired:
@@ -249,18 +256,11 @@ class TpuConsensusStage:
                     pend[ci] = self._round_dispatch(
                         windows, cfg, co.active, co.st, co.state, max_expand,
                         bindings)
-        for _ in range(20):
-            logger.bar("[racon::Polisher::polish] generating consensus")
+        logger.bar_progress("[racon::Polisher::polish] generating consensus",
+                            total_units, total_units)
         return [c if c is not None else b"" for c in consensus], polished
 
     # ------------------------------------------------------------------ #
-
-    def _one_round(self, windows, cfg, active, st, state, max_expand, final,
-                   tgs, consensus, polished, bindings):
-        ctx = self._round_dispatch(windows, cfg, active, st, state,
-                                   max_expand, bindings)
-        return self._round_complete(ctx, cfg, final, tgs, consensus,
-                                    polished, bindings)
 
     def _round_dispatch(self, windows, cfg, active, st, state, max_expand,
                         bindings):

@@ -38,6 +38,23 @@ class Logger:
             self._stage = time.monotonic()
         sys.stderr.flush()
 
+    def bar_progress(self, message: str, done: int, total: int) -> None:
+        """Advance the 20-bin bar to floor(done*20/total) bins.
+
+        Honest variant of the reference's caller-side pacing
+        (src/polisher.cpp:472-483: one bar() per total/20 completed
+        futures): each bin is drawn only once the matching fraction of the
+        work has actually completed. done == total fills the bar and prints
+        the stage time.
+        """
+        if total <= 0:
+            return
+        target = min(20, done * 20 // total)
+        while self._bar_bins < target:
+            self.bar(message)
+            if self._bar_bins == 0:  # bar() wrapped at 20: stage finished
+                return
+
     def total(self, message: str) -> None:
         elapsed = time.monotonic() - self._origin
         sys.stderr.write(f"{message} {elapsed:.6f} s\n")
