@@ -49,14 +49,15 @@ def _mutate_read(rng, seg):
     return read
 
 
-def build_workload(seed=1234, n_windows=None):
+def build_workload(seed=1234, n_windows=None, window_len=None):
     from racon_tpu.core.store import SequenceStore
     from racon_tpu.core.windows import WindowSet, WINDOW_TYPE_TGS
 
     n_windows = n_windows or N_WINDOWS
+    window_len = window_len or WINDOW_LEN
     rng = np.random.default_rng(seed)
     ACGT = np.frombuffer(b"ACGT", np.uint8)
-    glen = n_windows * WINDOW_LEN
+    glen = n_windows * window_len
     true = rng.choice(ACGT, glen)
     draft = true.copy()
     # draft errors: subs + deletions (ONT-like draft)
@@ -73,7 +74,7 @@ def build_workload(seed=1234, n_windows=None):
     # reads tile the target; each read ~2kb covering 4 windows, staggered.
     # read r spans draft[start:end]; its error-free source is the matching
     # true-coordinate slice (keep[] maps between the two systems)
-    read_len_t = 2000
+    read_len_t = 4 * window_len
     step = read_len_t // (DEPTH // 4)
     for start in range(0, len(draft) - 100, step):
         end = min(start + read_len_t, len(draft))
@@ -90,7 +91,7 @@ def build_workload(seed=1234, n_windows=None):
                           np.zeros(0, np.uint8),
                           np.zeros(len(parts) + 1, np.int64))
 
-    windows = WindowSet(store, 1, WINDOW_LEN, WINDOW_TYPE_TGS)
+    windows = WindowSet(store, 1, window_len, WINDOW_TYPE_TGS)
     # assign layers via the host aligner's breaking points (setup, not timed)
     from racon_tpu.core.overlaps import OverlapTable
     from racon_tpu.native import bindings
@@ -112,7 +113,7 @@ def build_workload(seed=1234, n_windows=None):
         np.zeros(n_reads, np.uint8), np.zeros(n_reads, np.int64),
         qoff[1:] - qoff[:-1], qoff[1:] - qoff[:-1],
         np.array([b for b, _ in spans], np.int64),
-        np.array([e for _, e in spans], np.int64), WINDOW_LEN, 16)
+        np.array([e for _, e in spans], np.int64), window_len, 16)
     for r in range(n_reads):
         o = int(quad_off[r])
         bp = quads[o : o + int(counts[r])]

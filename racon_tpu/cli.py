@@ -72,6 +72,12 @@ HELP = """usage: racon [options ...] <sequences> <overlaps> <target sequences>
             support thresholds for insertion candidates between passes
         --profile <dir>
             write a JAX/XLA profiler trace to <dir> (view with TensorBoard)
+        --distributed
+            multi-host run: initialize jax.distributed from the standard
+            environment (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+            JAX_PROCESS_ID or cloud-TPU metadata), shard overlap alignment
+            and window consensus per process, gather to process 0 for
+            output (also enabled by RACON_TPU_DISTRIBUTED=1)
         --version
             prints the version number
         -h, --help
@@ -141,6 +147,7 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--candidate-min", type=int, default=2)
     parser.add_argument("--profile", type=str, default="",
                         metavar="DIR")  # JAX/XLA trace -> DIR (TensorBoard)
+    parser.add_argument("--distributed", action="store_true")
     # drop-in aliases for racon's CUDA options (src/main.cpp:37-40): they
     # request the accelerator path, which here is the TPU backend; batch
     # sizing is automatic, so the counts only act as an on/off switch
@@ -171,6 +178,11 @@ def main(argv: list[str] | None = None) -> int:
         return 1
 
     cfg = build_config(args)
+    import os as _os
+    if args.distributed or _os.environ.get("RACON_TPU_DISTRIBUTED") == "1":
+        # must come up before any device use so the mesh spans every host
+        from .parallel import dist
+        dist.initialize()
     if cfg.backend in ("auto", "tpu"):
         # import jax + open the device link on a side thread so the cost
         # overlaps with input parsing (both are seconds-scale on a

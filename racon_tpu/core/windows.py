@@ -165,6 +165,31 @@ class WindowSet:
                else self.sequences.quality(q))
         return src[b : b + ln]
 
+    def shard(self, lo: int, hi: int) -> "WindowSet":
+        """Re-based view of windows [lo, hi) — the per-process work shard
+        for multi-host runs (parallel/dist.py). Window/layer arrays are
+        sliced and the layer CSR rebased; the sequence store is shared.
+        Every consensus-stage backend consumes the shard as a normal
+        WindowSet; stitching uses the full set on process 0."""
+        assert self.frozen and 0 <= lo <= hi <= self.num_windows
+        ws = WindowSet.__new__(WindowSet)
+        ws.sequences = self.sequences
+        ws.window_length = self.window_length
+        ws.window_type = self.window_type
+        ws.targets_size = self.targets_size
+        ws.num_windows = hi - lo
+        ws.first_window_id = None  # pre-freeze only (assign_overlap)
+        for name in ("win_target", "win_rank", "win_start", "win_len"):
+            setattr(ws, name, getattr(self, name)[lo:hi])
+        l0, l1 = int(self.win_layer_off[lo]), int(self.win_layer_off[hi])
+        for name in ("lay_win", "lay_qid", "lay_strand", "lay_qbegin",
+                     "lay_qlen", "lay_begin", "lay_end"):
+            setattr(ws, name, getattr(self, name)[l0:l1])
+        ws.lay_win = ws.lay_win - lo
+        ws.win_layer_off = self.win_layer_off[lo : hi + 1] - l0
+        ws.frozen = True
+        return ws
+
 
 def stitch(window_consensus: list[bytes], window_polished: list[bool],
            windows: WindowSet, sequences: SequenceStore,

@@ -93,6 +93,6 @@ class NativeConsensusStage:
     def consensus_windows(self, windows, cfg, logger):
         packed = pack_windows(windows)
         result = run_consensus(windows, cfg, packed)
-        for _ in range(20):
-            logger.bar("[racon::Polisher::polish] generating consensus")
+        logger.bar_progress("[racon::Polisher::polish] generating consensus",
+                            windows.num_windows, windows.num_windows)
         return result

@@ -1,0 +1,114 @@
+"""Multi-host distribution: per-process work shards + DCN gathers.
+
+The reference's multi-GPU batch dispatch (one process, one batch queue per
+GPU — src/cuda/cudapolisher.cpp:165-180) generalizes here to multi-process
+jax: every process parses the full input (IO is cheap next to alignment and
+consensus), aligns a contiguous shard of the overlaps, all-gathers the
+breaking points over DCN, builds the full window set, polishes a contiguous
+shard of the windows, and gathers consensus bytes to every process; process
+0 stitches and prints (SURVEY.md §5.8's mapping).
+
+Entry points:
+  initialize()        -- jax.distributed.initialize (env-driven or explicit)
+  is_active()         -- more than one jax process
+  shard_range(n)      -- this process's contiguous [lo, hi) of n work items
+  allgather_blob(...) -- variable-length per-process arrays -> full list
+
+On TPU pods the collectives ride ICI/DCN through the TPU backend; on CPU
+(tests) they need gloo: run each process with
+JAX_CPU_COLLECTIVES_IMPLEMENTATION=gloo (see tests/test_multihost.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Multi-host entry: bring up jax.distributed before any device use so
+    the mesh spans every host. With no arguments, jax reads the standard
+    environment (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID, or cloud-TPU metadata). No-op when already up."""
+    import jax
+
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError:
+        pass  # already initialized
+
+
+def process_count() -> int:
+    import jax
+
+    try:
+        return jax.process_count()
+    except Exception:
+        return 1
+
+
+def process_index() -> int:
+    import jax
+
+    try:
+        return jax.process_index()
+    except Exception:
+        return 0
+
+
+def is_active() -> bool:
+    return process_count() > 1
+
+
+def shard_range(n: int, index: int | None = None,
+                count: int | None = None) -> tuple[int, int]:
+    """Contiguous [lo, hi) shard of n items for this process (balanced to
+    within one item)."""
+    p = process_count() if count is None else count
+    i = process_index() if index is None else index
+    base, rem = divmod(n, p)
+    lo = i * base + min(i, rem)
+    return lo, lo + base + (1 if i < rem else 0)
+
+
+def allgather_blob(local: np.ndarray) -> list[np.ndarray]:
+    """All-gather one variable-length 1-D (or 2-D with fixed trailing dims)
+    array per process; returns the per-process arrays in process order.
+    Shapes are equalized by padding to the global max row count (the only
+    way to ride jax's collective path, which needs identical shapes)."""
+    from jax.experimental import multihost_utils
+
+    local = np.ascontiguousarray(local)
+    rows = np.array([local.shape[0]], np.int64)
+    counts = multihost_utils.process_allgather(rows).reshape(-1)
+    mx = int(counts.max())
+    padded = np.zeros((mx,) + local.shape[1:], local.dtype)
+    padded[: local.shape[0]] = local
+    gathered = multihost_utils.process_allgather(padded)
+    return [gathered[p, : int(counts[p])] for p in range(len(counts))]
+
+
+def allgather_ragged(items: list[np.ndarray], dtype,
+                     trailing: tuple[int, ...] = ()) -> list[np.ndarray]:
+    """All-gather a list of variable-length arrays (this process's shard of
+    a global item list). Returns the concatenated global list, ordered by
+    process then local index. Each item keeps its own length via a
+    per-process counts vector."""
+    if items:
+        blob = np.concatenate([np.asarray(a, dtype).reshape((-1,) + trailing)
+                               for a in items])
+    else:
+        blob = np.zeros((0,) + trailing, dtype)
+    lens = np.array([len(a) for a in items], np.int64)
+    blobs = allgather_blob(blob)
+    lenss = allgather_blob(lens)
+    out: list[np.ndarray] = []
+    for b, ls in zip(blobs, lenss):
+        off = 0
+        for n in ls:
+            out.append(b[off : off + int(n)])
+            off += int(n)
+    return out

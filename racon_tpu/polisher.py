@@ -194,8 +194,11 @@ class Polisher:
 
     def _find_breaking_points(self, overlaps: OverlapTable) -> list[np.ndarray]:
         """Dispatch the alignment stage to the configured backend; SAM
-        records that carry a CIGAR are walked directly."""
+        records that carry a CIGAR are walked directly. Under multi-host
+        (parallel/dist.py) each process aligns a contiguous shard of the
+        overlaps and the breaking points are all-gathered over DCN."""
         from .backends import get_align_stage
+        from .parallel import dist
         stage = get_align_stage(self.config)
 
         w = self.config.window_length
@@ -210,11 +213,19 @@ class Polisher:
                     int(overlaps.t_end[i]), w)
             else:
                 need_align.append(i)
-        if need_align:
+        if need_align and dist.is_active():
+            lo, hi = dist.shard_range(len(need_align))
+            local = stage.breaking_points(
+                overlaps, need_align[lo:hi], self.sequences, w, self.logger)
+            aligned = dist.allgather_ragged(local, np.int64, trailing=(4,))
+            assert len(aligned) == len(need_align)
+        elif need_align:
             aligned = stage.breaking_points(
                 overlaps, need_align, self.sequences, w, self.logger)
-            for i, bp in zip(need_align, aligned):
-                out[i] = bp
+        else:
+            aligned = []
+        for i, bp in zip(need_align, aligned):
+            out[i] = bp
         self.logger.log("[racon::Polisher::initialize] aligned overlaps")
         return out
 
@@ -222,11 +233,31 @@ class Polisher:
 
     def polish(self, drop_unpolished_sequences: bool) -> list[tuple[bytes, bytes]]:
         from .backends import get_consensus_stage
+        from .parallel import dist
         cfg = self.config
         self.logger.log()
         stage = get_consensus_stage(cfg)
-        consensus, polished = stage.consensus_windows(
-            self.windows, cfg, self.logger)
+        if dist.is_active():
+            # multi-host: each process polishes a contiguous window shard;
+            # consensus bytes are gathered to every process (cheap vs the
+            # compute) and process 0 stitches + prints (SURVEY.md §5.8)
+            lo, hi = dist.shard_range(self.windows.num_windows)
+            local_c, local_p = stage.consensus_windows(
+                self.windows.shard(lo, hi), cfg, self.logger)
+            parts = dist.allgather_ragged(
+                [np.frombuffer(c, np.uint8) for c in local_c], np.uint8)
+            flags = np.concatenate(dist.allgather_blob(
+                np.asarray(local_p, np.uint8)))
+            consensus = [p.tobytes() for p in parts]
+            polished = [bool(f) for f in flags]
+            assert len(consensus) == self.windows.num_windows
+            if dist.process_index() != 0:
+                self.logger.log("[racon::Polisher::polish] generated "
+                                "consensus")
+                return []
+        else:
+            consensus, polished = stage.consensus_windows(
+                self.windows, cfg, self.logger)
         dst = stitch(consensus, polished, self.windows, self.sequences,
                      self.targets_coverages,
                      cfg.type == PolisherType.kF, drop_unpolished_sequences)

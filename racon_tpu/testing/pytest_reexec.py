@@ -1,0 +1,48 @@
+"""Early pytest plugin: re-exec the test run with a clean jax environment.
+
+The tests need a virtual multi-device CPU mesh (conftest asks for 8 CPU
+devices). On images whose sitecustomize registers an accelerator PJRT
+plugin at interpreter start (axon), jax's backends are initialized before
+any test code runs, freezing the CPU topology at one device — the mesh
+tests would silently degenerate to a single device. jax refuses the config
+update after the fact, so the only reliable fix is to restart pytest with
+the registration disabled and the CPU device count set via environment.
+
+This module is loaded via `addopts = "-p racon_tpu.testing.pytest_reexec"`
+during option pre-parsing — crucially BEFORE pytest's fd-level capture
+starts, so the re-exec'd process inherits the real stdout/stderr (an exec
+from conftest.py would write into the soon-discarded capture tempfile).
+"""
+
+import os
+import sys
+
+
+def _backends_frozen() -> bool:
+    try:
+        import jax
+
+        if len(jax.devices("cpu")) >= 8:
+            return False
+        jax.config.update("jax_num_cpu_devices", 8)
+        return len(jax.devices("cpu")) < 8
+    except RuntimeError:
+        return True  # "config should be updated before backends are ..."
+    except Exception:
+        return False
+
+
+if os.environ.get("RACON_TPU_TEST_REEXEC") != "1" and _backends_frozen():
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # axon register() is the freezer
+    env["RACON_TPU_TEST_REEXEC"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_NUM_CPU_DEVICES"] = "8"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.execve(sys.executable,
+              [sys.executable, "-m", "pytest", *sys.argv[1:]], env)

@@ -1,10 +1,11 @@
 import os
 
-# tests run on CPU with a virtual 8-device mesh; the real chip is reserved for
-# bench.py. The image pre-imports jax with JAX_PLATFORMS=axon via
-# sitecustomize, so env vars alone are too late -- override via jax.config
-# BEFORE any backend is initialized.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# Tests run on CPU with a virtual 8-device mesh; the real chip is reserved
+# for bench.py. racon_tpu.testing.pytest_reexec (loaded via addopts before
+# pytest's capture starts) restarts the run with a clean environment when
+# the image's sitecustomize froze jax at a single CPU device; by the time
+# this conftest imports, the environment is already correct.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -12,9 +12,10 @@ counts match exactly (39/236/236/236); total bp within 0.1% (1,659,647 /
 1,664,043 / 1,659,647 — a different, measurably better consensus than the
 reference's, see tests/test_e2e_quality.py).
 
-The kC case runs in the suite (its filter keeps one overlap per query, so
-the alignment stage stays small). The kF cases align all 8,016 ava overlaps
-— minutes on CPU — and are gated behind RACON_TPU_SLOW_TESTS=1.
+The kC case and the kF FASTQ+PAF case run in the default suite (the
+Myers/WFA host aligner covers the 8,016 ava overlaps in seconds); the kF
+format variants (FASTA / MHAP) are gated behind RACON_TPU_SLOW_TESTS=1 and
+run in CI.
 """
 
 import io
@@ -51,15 +52,18 @@ def test_kc_ava_paf_golden_counts(data_dir):
     assert abs(total - 389394) / 389394 < 0.01
 
 
-@pytest.mark.skipif(not os.environ.get("RACON_TPU_SLOW_TESTS"),
-                    reason="aligns all 8016 ava overlaps; set "
-                           "RACON_TPU_SLOW_TESTS=1")
-@pytest.mark.parametrize("reads,ovl,ref_bp", [
-    ("sample_reads.fastq.gz", "sample_ava_overlaps.paf.gz", 1658216),
-    ("sample_reads.fasta.gz", "sample_ava_overlaps.paf.gz", 1663982),
-    ("sample_reads.fastq.gz", "sample_ava_overlaps.mhap.gz", 1658216),
+# The FASTQ+PAF kF case runs in the default suite (~3 min on 2 CPU cores
+# with the Myers/WFA aligner — the headline kF claim must not rest on a
+# manual run); the FASTA/MHAP variants differ only in input-format handling,
+# already covered by fast tests, and stay gated.
+@pytest.mark.parametrize("reads,ovl,ref_bp,gated", [
+    ("sample_reads.fastq.gz", "sample_ava_overlaps.paf.gz", 1658216, False),
+    ("sample_reads.fasta.gz", "sample_ava_overlaps.paf.gz", 1663982, True),
+    ("sample_reads.fastq.gz", "sample_ava_overlaps.mhap.gz", 1658216, True),
 ])
-def test_kf_ava_golden_counts(data_dir, reads, ovl, ref_bp):
+def test_kf_ava_golden_counts(data_dir, reads, ovl, ref_bp, gated):
+    if gated and not os.environ.get("RACON_TPU_SLOW_TESTS"):
+        pytest.skip("kF format variant; set RACON_TPU_SLOW_TESTS=1")
     n, total = _run(data_dir, reads, ovl, PolisherType.kF, False, passes=4)
     assert n == 236  # exact match with the reference golden
     assert abs(total - ref_bp) / ref_bp < 0.01

@@ -68,9 +68,6 @@ def test_polish_single_pass_mode(data_dir):
     assert len(out) == 1
 
 
-@pytest.mark.skipif(not os.environ.get("RACON_TPU_SLOW_TESTS"),
-                    reason="full contig-mode golden matrix (runs the "
-                           "overlap-alignment stage); RACON_TPU_SLOW_TESTS=1")
 @pytest.mark.parametrize("reads,ovl,m,x,g,w,ref_golden", [
     ("sample_reads.fastq.gz", "sample_overlaps.paf.gz", 5, -4, -8, 500, 1312),
     ("sample_reads.fasta.gz", "sample_overlaps.paf.gz", 5, -4, -8, 500, 1566),
@@ -81,7 +78,9 @@ def test_polish_single_pass_mode(data_dir):
 def test_full_golden_matrix_beats_reference(data_dir, reads, ovl, m, x, g, w,
                                             ref_golden):
     """All remaining reference golden configs (test/racon_test.cpp:88-218):
-    our consensus must beat the reference's own pinned edit distance."""
+    our consensus must beat the reference's own pinned edit distance.
+    In the default suite since the Myers/WFA host aligner (round 2) made
+    the overlap-alignment stage seconds-fast on CPU."""
     from racon_tpu.native import bindings
     cfg = PolisherConfig(backend="auto", num_threads=os.cpu_count() or 4,
                          match=m, mismatch=x, gap=g, window_length=w)
