@@ -133,6 +133,113 @@ def run_stage(stage, windows, cfg):
     return dt, cons
 
 
+def bench_kernel_cells():
+    """Device-only microbench of the production fused align+walk dispatch
+    (transposed t8 kernel + RLE walk at the 640/128 consensus tier):
+    DP cells/s on device plus a speed-of-light estimate.
+
+    SOL model (v5e): the banded-NW inner loop is VPU-bound int32 work —
+    per DP cell roughly log2(W)+1 shift/select steps for the deletion-chain
+    max-plus closure plus ~10 add/max/compare/select ops ≈ 18 VPU ops.
+    v5e VPU ≈ 4 SIMD units x (8x128) lanes x ~0.94 GHz ≈ 3.85e12 int32
+    ops/s -> SOL ≈ 2.1e11 cells/s. The fused dispatch also runs the
+    traceback walk, so the measured figure UNDERstates pure-NW throughput.
+    """
+    import jax
+    from racon_tpu.ops.nw_kernel import (align_walk_rle_batch, pack_codes4,
+                                         pack_delbits)
+
+    B, cap, band = 4096, 640, 128
+    rng = np.random.default_rng(7)
+    t8 = rng.integers(0, 4, (B, cap)).astype(np.int8)
+    q8 = t8.copy()
+    sub = rng.random((B, cap)) < 0.1
+    q8[sub] = rng.integers(0, 4, int(sub.sum()))
+    m = np.full(B, cap, np.int32)
+    n = np.full(B, cap, np.int32)
+    q4, t4 = pack_codes4(q8), pack_codes4(t8)
+    dcb = pack_delbits(np.full((B, cap), -8, np.int8))
+    args = (q4, t4, dcb, m, n)
+    kw = dict(m_cap=cap, n_cap=cap, w_band=band, match=5, mismatch=-4,
+              gap=-8)
+    out = align_walk_rle_batch(*args, **kw)  # compile + warm
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        jax.block_until_ready(align_walk_rle_batch(*args, **kw))
+        times.append(time.monotonic() - t0)
+    dt = statistics.median(times)
+    cells = B * cap * band
+    sol = 3.85e12 / 18.0
+    return {"batch": B, "cap": cap, "band": band, "seconds": round(dt, 4),
+            "dp_cells_per_s": round(cells / dt, 0),
+            "sol_cells_per_s_est": round(sol, 0),
+            "pct_of_sol": round(100.0 * cells / dt / sol, 2)}
+
+
+def bench_align_stage(cfg):
+    """Overlap-alignment stage on REAL data (the 181 sample PAF overlaps,
+    /root/reference/test/data): overlaps/s through the device tier ladder
+    vs the native host aligner (the reference edlib role)."""
+    import contextlib
+    import io
+    import os
+
+    from racon_tpu.polisher import create_polisher
+    from racon_tpu.utils.logger import Logger
+
+    d = "/root/reference/test/data"
+    if not os.path.isdir(d):
+        return None
+    p = create_polisher(os.path.join(d, "sample_reads.fastq.gz"),
+                        os.path.join(d, "sample_overlaps.paf.gz"),
+                        os.path.join(d, "sample_layout.fasta.gz"), cfg)
+    # run initialize() but intercept the align stage to time both backends
+    from racon_tpu.native.align_stage import NativeAlignStage
+    from racon_tpu.ops.align_stage_tpu import TpuAlignStage
+
+    result = {}
+    orig = NativeAlignStage.breaking_points
+
+    def probe(self, overlaps, indices, sequences, window_length, logger):
+        sink = Logger()
+        with contextlib.redirect_stderr(io.StringIO()):
+            host_stage = NativeAlignStage(cfg)
+            t0 = time.monotonic()
+            host_bp = orig(host_stage, overlaps, indices, sequences,
+                           window_length, sink)
+            host_dt = time.monotonic() - t0
+            result["n_overlaps"] = len(indices)
+            result["host_seconds"] = round(host_dt, 3)
+            result["host_overlaps_per_s"] = round(len(indices) / host_dt, 1)
+            dev = TpuAlignStage.try_create(cfg)
+            if dev is not None:
+                t0 = time.monotonic()
+                dev.breaking_points(overlaps, indices, sequences,
+                                    window_length, sink)  # warm (compile)
+                result["device_cold_seconds"] = round(time.monotonic() - t0,
+                                                      3)
+                t0 = time.monotonic()
+                dev.breaking_points(overlaps, indices, sequences,
+                                    window_length, sink)
+                dev_dt = time.monotonic() - t0
+                result["device_seconds"] = round(dev_dt, 3)
+                result["device_overlaps_per_s"] = round(
+                    len(indices) / dev_dt, 1)
+        return host_bp
+
+    NativeAlignStage.breaking_points = probe
+    import dataclasses
+    p.config = dataclasses.replace(cfg, backend="native")
+    try:
+        with contextlib.redirect_stderr(io.StringIO()):
+            p.initialize()
+    finally:
+        NativeAlignStage.breaking_points = orig
+    return result
+
+
 def main():
     from racon_tpu.models.polish_model import PolisherConfig
     from racon_tpu.native.consensus_stage import NativeConsensusStage
@@ -143,36 +250,89 @@ def main():
                          match=5, mismatch=-4, gap=-8)
     windows, true = build_workload()
 
+    ledger = {"workload": {"n_windows": windows.num_windows,
+                           "window_len": WINDOW_LEN, "depth": DEPTH,
+                           "read_error": ERR, "host_threads":
+                           cfg.num_threads}}
+
     # CPU baseline (racon-equivalent host path), once
     cpu_dt, cpu_cons = run_stage(NativeConsensusStage(cfg), windows, cfg)
     cpu_wps = windows.num_windows / cpu_dt
+    ledger["consensus_host"] = {"seconds": round(cpu_dt, 3),
+                                "windows_per_s": round(cpu_wps, 2)}
 
     tpu = TpuConsensusStage.try_create(cfg)
     if tpu is None:
+        _write_ledger(ledger)
         print(json.dumps({"metric": "poa_windows_per_s_per_chip",
                           "value": round(cpu_wps, 2), "unit": "windows/s",
                           "vs_baseline": 1.0}))
         return
 
     # warm-up (compile)
+    t0 = time.monotonic()
     run_stage(tpu, windows, cfg)
+    ledger["consensus_cold_seconds"] = round(time.monotonic() - t0, 3)
     times = []
+    profs = []
     for _ in range(REPEATS):
         dt, tpu_cons = run_stage(tpu, windows, cfg)
         times.append(dt)
+        profs.append(dict(tpu.prof))
     tpu_dt = statistics.median(times)
     tpu_wps = windows.num_windows / tpu_dt
+    prof = profs[times.index(tpu_dt)]
+    fetch = prof.get("fetch_s", 0.0)
+    disp = prof.get("dispatch_s", 0.0)
+    merge = prof.get("merge_s", 0.0)
+    ledger["consensus_device"] = {
+        "seconds": round(tpu_dt, 3),
+        "windows_per_s": round(tpu_wps, 2),
+        "host_dispatch_s": round(disp, 3),
+        "device_wait_s": round(fetch, 3),  # underestimates device busy:
+        # cohort pipelining overlaps other dispatches with the host merge
+        "host_merge_s": round(merge, 3),
+        "host_bound_pct": round(100.0 * (disp + merge) / tpu_dt, 1),
+        "all_runs_s": [round(t, 3) for t in times],
+    }
+
+    # device-only kernel throughput + speed-of-light accounting (real
+    # chips only: the transposed kernel has no interpret mode)
+    if not tpu.interpret:
+        try:
+            ledger["kernel_640x128"] = bench_kernel_cells()
+        except Exception as e:  # pragma: no cover - must not kill bench
+            ledger["kernel_640x128"] = {"error": str(e)}
+
+    # overlap-alignment stage on real data (the OTHER hot loop)
+    try:
+        ledger["align_stage_sample_paf"] = bench_align_stage(cfg)
+    except Exception as e:  # pragma: no cover
+        ledger["align_stage_sample_paf"] = {"error": str(e)}
 
     # sanity: consensus quality comparable between paths
     from racon_tpu.native import bindings
     d_tpu = bindings.edit_distance(b"".join(tpu_cons), true.tobytes())
     d_cpu = bindings.edit_distance(b"".join(cpu_cons), true.tobytes())
+    ledger["quality"] = {"edit_vs_truth_device": int(d_tpu),
+                         "edit_vs_truth_host": int(d_cpu)}
+    _write_ledger(ledger)
     sys.stderr.write(f"[bench] edit-vs-truth tpu={d_tpu} cpu={d_cpu} "
                      f"cpu_wps={cpu_wps:.1f} tpu_times={times}\n")
+    sys.stderr.write("[bench] ledger -> BENCH_LEDGER.json: "
+                     + json.dumps(ledger) + "\n")
 
     print(json.dumps({"metric": "poa_windows_per_s_per_chip",
                       "value": round(tpu_wps, 2), "unit": "windows/s",
                       "vs_baseline": round(tpu_wps / cpu_wps, 3)}))
+
+
+def _write_ledger(ledger):
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_LEDGER.json")
+    with open(path, "w") as f:
+        json.dump(ledger, f, indent=1)
 
 
 if __name__ == "__main__":

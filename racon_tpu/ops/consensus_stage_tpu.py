@@ -22,6 +22,9 @@ downlink.
 
 from __future__ import annotations
 
+import time
+from collections import defaultdict
+
 import numpy as np
 
 import os
@@ -128,6 +131,12 @@ class TpuConsensusStage:
         from ..core.windows import WINDOW_TYPE_TGS
         from ..native import bindings
 
+        # wall-time ledger (read by bench.py): host prep+launch, blocking
+        # payload fetch (device wait + D2H; an UNDERestimate of device busy
+        # time — other cohorts' dispatches overlap the host merge), and the
+        # host merge+decode remainder
+        self.prof = defaultdict(float)
+
         n_win = windows.num_windows
         tgs = windows.window_type == WINDOW_TYPE_TGS
 
@@ -224,15 +233,20 @@ class TpuConsensusStage:
         total_units = len(active) * passes  # window-rounds, for progress
         done_units = 0
         for ci, co in enumerate(cohorts):
+            t0 = time.perf_counter()
             pend[ci] = self._round_dispatch(windows, cfg, co.active, co.st,
                                             co.state, max_expand, bindings)
+            self.prof["dispatch_s"] += time.perf_counter() - t0
         while any(p is not None for p in pend):
             for ci, co in enumerate(cohorts):
                 if pend[ci] is None:
                     continue
                 final = pass_no[ci] == passes - 1
+                t0 = time.perf_counter()
                 retired = self._round_complete(pend[ci], cfg, final, tgs,
                                                consensus, polished, bindings)
+                self.prof["merge_s"] += (time.perf_counter() - t0
+                                         - self.prof.pop("_fetch_last", 0.0))
                 pend[ci] = None
                 pass_no[ci] += 1
                 done_units += len(co.active)
@@ -253,9 +267,11 @@ class TpuConsensusStage:
                         co.st = co.st.subset(keep_z)
                         co.state.subset(keep_z)
                 if co.active:
+                    t0 = time.perf_counter()
                     pend[ci] = self._round_dispatch(
                         windows, cfg, co.active, co.st, co.state, max_expand,
                         bindings)
+                    self.prof["dispatch_s"] += time.perf_counter() - t0
         logger.bar_progress("[racon::Polisher::polish] generating consensus",
                             total_units, total_units)
         return [c if c is not None else b"" for c in consensus], polished
@@ -418,8 +434,11 @@ class TpuConsensusStage:
         ops_off2 = np.zeros(n_items + 1, np.int64)
         np.cumsum(mlen + nlen + 2, out=ops_off2[1:])
         ops_blob = np.empty((int(ops_off2[-1]), 2), np.int32)
+        fetch_s = 0.0
         for sel, cap, w_band, fmt, payload in ctx["pending"]:
+            tf = time.perf_counter()
             payload = np.asarray(payload)[: len(sel)]
+            fetch_s += time.perf_counter() - tf
             codes = np.ascontiguousarray(payload[:, :-1])
             escaped = payload[:, -1] != 0
             budget = (rle_events(cap, cap, w_band) if fmt == "rle"
@@ -431,6 +450,9 @@ class TpuConsensusStage:
             kept = ~escaped
             host_parts.append(sel[escaped])  # band escape -> host realign
             cnt[sel[kept]] = counts[kept]
+        if hasattr(self, "prof"):
+            self.prof["fetch_s"] += fetch_s
+            self.prof["_fetch_last"] = fetch_s
 
         # host fallback alignment (per-column costs)
         host_idx = np.concatenate(host_parts)
