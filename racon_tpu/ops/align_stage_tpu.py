@@ -110,6 +110,29 @@ class TpuAlignStage:
             tier_id[ok] = ti
         host: list[int] = list(np.flatnonzero(tier_id < 0))
 
+        # concurrent AOT compile of every tier this run will dispatch:
+        # cold cost becomes max(tier ingest), not the sum (see
+        # nw_kernel.prewarm_tiers_async; single-device path only)
+        if not self.interpret:
+            from ..parallel.mesh import active_mesh
+            from .nw_kernel import (padded_batch, prewarm_tiers_async,
+                                    t_big_fits, t_kernel_fits)
+            if active_mesh() is None:
+                specs = set()
+                for ti, (cap, band) in enumerate(tiers):
+                    k = int((tier_id == ti).sum())
+                    if k == 0:
+                        continue
+                    step = _chunk_size(cap, band)
+                    fixed_b = step if cap >= 5120 else None
+                    rle = (t_kernel_fits(cap, cap, band)
+                           or t_big_fits(cap, cap, band))
+                    for b in {min(step, k - c0) for c0 in range(0, k, step)}:
+                        specs.add((cap, band,
+                                   padded_batch(b, fixed_b, False, 1),
+                                   0, -1, -1, rle))
+                prewarm_tiers_async(specs)
+
         all_ops: list[np.ndarray | None] = [None] * len(indices)
         all_counts = np.zeros(len(indices), np.int64)
 

@@ -349,6 +349,30 @@ class TpuConsensusStage:
         cnt = np.zeros(n_items, np.int64)
         host_parts = [np.flatnonzero(tier_id < 0)]
 
+        # kick off concurrent AOT compiles for every tier this round uses:
+        # a cold process then pays max(tier ingest) instead of the sum
+        # (single-device path only — the mesh path keys its own programs)
+        if not self.interpret and self._dev_q is None:
+            from ..parallel.mesh import active_mesh
+            from .nw_kernel import (padded_batch, prewarm_tiers_async,
+                                    t_big_fits, t_kernel_fits)
+            if active_mesh() is None:
+                specs = []
+                for ti, (cap, wb) in enumerate(tiers):
+                    k = int(counts[ti])
+                    if k == 0:
+                        continue
+                    step = _chunk_size(cap, wb)
+                    fixed_b = step if cap >= 5120 else None
+                    rle = (t_kernel_fits(cap, cap, wb)
+                           or t_big_fits(cap, cap, wb))
+                    sizes = {min(step, k - c0) for c0 in range(0, k, step)}
+                    for b in sizes:
+                        specs.append((cap, wb, padded_batch(b, fixed_b,
+                                                            False, 1),
+                                      cfg.match, cfg.mismatch, gap, rle))
+                prewarm_tiers_async(set(specs))
+
         # 3. device alignment: one fused align+walk dispatch per chunk; all
         # chunks are dispatched before any result is fetched so H2D, compute
         # and D2H pipeline across chunks (async dispatch)

@@ -419,6 +419,62 @@ def align_walk_batch(q4, t4, dcb, m, n, *, m_cap, n_cap, w_band, match,
                                   mismatch=mismatch, gap=gap, nw_fn=nw_fn)
 
 
+def padded_batch(B: int, fixed_b, interpret: bool, mesh_size: int) -> int:
+    """The canonical padded batch dimension align_walk_padded dispatches
+    with: next power of two (min 16), or fixed_b; rounded so every mesh
+    shard gets an equal slice and real chips stay B_LANE-aligned (the
+    transposed-kernel eligibility)."""
+    if fixed_b is not None:
+        bp = max(fixed_b, B)
+    else:
+        bp = 16
+        while bp < B:
+            bp *= 2
+    lane_unit = B_TILE if interpret else B_LANE
+    unit = mesh_size * lane_unit
+    return -(-bp // unit) * unit
+
+
+_prewarmed: set = set()
+
+
+def prewarm_tiers_async(specs) -> None:
+    """AOT-compile the fused align+walk programs for (cap, band, batch,
+    match, mismatch, gap, rle) specs on daemon threads.
+
+    A cold process otherwise compiles (or, on a tethered chip, ingests —
+    10-200 s each, PLAN M12) each tier's program serially at its first
+    dispatch; warming them concurrently makes the cold cost
+    max(per-tier) instead of the sum. jax's jit cache dedups with the
+    real dispatch that follows, which simply blocks until its tier's
+    warm finishes. Single-device programs only (the mesh path keys its
+    own programs); shapes must mirror padded_batch's output."""
+    import threading
+
+    import jax as _jax
+
+    for spec in specs:
+        if spec in _prewarmed:
+            continue
+        _prewarmed.add(spec)
+        cap, band, bp, match, mismatch, gap, rle = spec
+
+        def _go(cap=cap, band=band, bp=bp, match=match, mismatch=mismatch,
+                gap=gap, rle=rle):
+            try:
+                q4 = _jax.ShapeDtypeStruct((bp, cap // 2), jnp.uint8)
+                dcb = _jax.ShapeDtypeStruct((bp, cap // 8), jnp.uint8)
+                mm = _jax.ShapeDtypeStruct((bp,), jnp.int32)
+                fn = align_walk_rle_batch if rle else align_walk_batch
+                fn.lower(q4, q4, dcb, mm, mm, m_cap=cap, n_cap=cap,
+                         w_band=band, match=match, mismatch=mismatch,
+                         gap=gap).compile()
+            except Exception:
+                pass  # the real dispatch will surface any compile error
+
+        threading.Thread(target=_go, daemon=True).start()
+
+
 def align_walk_padded(q8, t8, dc8, m, n, *, m_cap, n_cap, w_band, match,
                       mismatch, gap, interpret=False, fixed_b=None,
                       prepacked=False):
@@ -443,17 +499,8 @@ def align_walk_padded(q8, t8, dc8, m, n, *, m_cap, n_cap, w_band, match,
 
     B = q8.shape[0]
     mesh = active_mesh()
-    if fixed_b is not None:
-        bp = max(fixed_b, B)
-    else:
-        bp = 16
-        while bp < B:
-            bp *= 2
-    # every mesh shard needs an equal slice; real chips additionally pad to
-    # B_LANE so the transposed (sublane-band) kernel path is eligible
-    lane_unit = B_TILE if interpret else B_LANE
-    unit = (mesh.devices.size if mesh is not None else 1) * lane_unit
-    bp = -(-bp // unit) * unit
+    bp = padded_batch(B, fixed_b, interpret,
+                      mesh.devices.size if mesh is not None else 1)
     if prepacked:
         q4, t4, dcb = q8, t8, dc8
     else:
