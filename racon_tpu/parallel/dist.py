@@ -37,8 +37,15 @@ def initialize(coordinator_address: str | None = None,
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return
+        import sys
+
+        sys.stderr.write(
+            "[racon::] warning: --distributed requested but "
+            f"jax.distributed.initialize failed ({e}); continuing "
+            "single-process\n")
 
 
 def process_count() -> int:
