@@ -127,12 +127,36 @@ def main():
     print(f"polish ({n_win} windows): {t2-t1:.1f}s "
           f"({n_win/(t2-t1):.0f} windows/s)", flush=True)
 
-    # identity on a 200kb slice (full-genome edit distance is slow on host)
+    # FULL-genome exact edit distance vs truth (the Myers host aligner
+    # makes this feasible: ~1 min at 4.6 Mb), plus the draft's for scale
     from racon_tpu.native import bindings
-    k = min(200_000, len(polished))
-    d = bindings.edit_distance(polished[:k], true[:k + 2000].tobytes())
-    print(f"edit distance, first {k/1000:.0f}kb vs truth(+2kb slack): {d} "
-          f"(~{100*(1-d/k):.2f}% identity)", flush=True)
+    t3 = time.time()
+    d = bindings.edit_distance(polished, true.tobytes())
+    ident = 100.0 * (1.0 - d / len(true))
+    with open(os.path.join(a.workdir, "draft.fasta"), "rb") as f:
+        draft = f.read().split(b"\n", 1)[1].replace(b"\n", b"")
+    d_draft = bindings.edit_distance(draft, true.tobytes())
+    ident_draft = 100.0 * (1.0 - d_draft / len(true))
+    print(f"consensus identity vs truth: {ident:.4f}% (edit {d}; draft "
+          f"{ident_draft:.4f}%/{d_draft}; metric {time.time()-t3:.0f}s)",
+          flush=True)
+
+    import json
+    rec = {"genome_bp": genome_bp, "coverage": a.coverage,
+           "read_len": a.read_len, "read_error": a.error,
+           "backend": a.backend, "threads": a.threads,
+           "initialize_s": round(t1 - t0, 1),
+           "polish_s": round(t2 - t1, 1),
+           "windows": n_win,
+           "windows_per_s": round(n_win / (t2 - t1), 1),
+           "edit_vs_truth": int(d), "identity_pct": round(ident, 4),
+           "draft_edit": int(d_draft),
+           "draft_identity_pct": round(ident_draft, 4)}
+    art = os.environ.get("RACON_TPU_GENOME_SCALE_OUT", "")
+    if art:
+        with open(art, "w") as f:
+            json.dump(rec, f, indent=1)
+    print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
