@@ -88,6 +88,10 @@ def _clean_env():
     env["JAX_NUM_CPU_DEVICES"] = "1"
     env["JAX_CPU_COLLECTIVES_IMPLEMENTATION"] = "gloo"
     env.pop("XLA_FLAGS", None)
+    # the worker script lives in tmp_path, so sys.path[0] won't cover the
+    # repo — make the package importable regardless of install state
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     return env
 
 
