@@ -171,7 +171,23 @@ struct Graph {
                     // variant-ring or out-list scans. Bit-identical graph:
                     // no nodes or edges are created or reordered here.
                     if (prev == t - 1 && prev >= 0 && n_base[t] == data[q]) {
+                        // word-at-a-time mismatch scan: match runs stay
+                        // inside backbone columns (t + run <= backbone_len
+                        // <= n_base.size()) and inside the layer (q + run
+                        // <= len), so 8-byte loads below never leave either
+                        // buffer
                         int32_t d = 1;
+                        while (u + d + 8 <= run) {
+                            uint64_t a, b;
+                            memcpy(&a, n_base.data() + t + d, 8);
+                            memcpy(&b, data + q + d, 8);
+                            const uint64_t x = a ^ b;
+                            if (x) {
+                                d += __builtin_ctzll(x) >> 3;
+                                break;
+                            }
+                            d += 8;
+                        }
                         while (u + d < run &&
                                n_base[t + d] == data[q + d]) {
                             ++d;
@@ -529,10 +545,17 @@ int64_t poa_round(RoundState& state, int64_t n_layers, const LayerView* layers,
     // optional columns
     const int64_t thr = std::max<int64_t>(
         rp.cand_min, static_cast<int64_t>(rp.cand_frac * n_layers));
-    std::vector<uint8_t> on_path(g.n_nodes(), 0);
+    // flat candidate list in ascending slot order (consumed by a cursor in
+    // the same order below) — avoids constructing n_slots small vectors
+    // per window-round; all scratch is thread_local and reused
+    thread_local std::vector<uint8_t> on_path;
+    on_path.assign(g.n_nodes(), 0);
     for (int32_t v : path) on_path[v] = 1;
     const int32_t n_slots = g.backbone_len + 1;
-    std::vector<std::vector<uint8_t>> cand(n_slots);
+    thread_local std::vector<int32_t> cand_slot;
+    thread_local std::vector<uint8_t> cand_base;
+    cand_slot.clear();
+    cand_base.clear();
     for (int32_t s = 0; s < n_slots; ++s) {
         for (int32_t h : g.ins_head[s]) {
             int32_t best = -1;
@@ -544,7 +567,10 @@ int64_t poa_round(RoundState& state, int64_t n_layers, const LayerView* layers,
                     best = v;
                 }
             }
-            if (best >= 0) cand[s].push_back(g.n_base[best]);
+            if (best >= 0) {
+                cand_slot.push_back(s);
+                cand_base.push_back(g.n_base[best]);
+            }
         }
     }
     const int64_t max_len =
@@ -553,16 +579,15 @@ int64_t poa_round(RoundState& state, int64_t n_layers, const LayerView* layers,
     std::vector<uint8_t> new_seq;
     std::vector<int32_t> new_del, new_slots_local;
     new_seq.reserve(path.size() + 64);
-    int32_t next_cand_slot = 0;
+    size_t cand_cur = 0;
     auto emit_cands_upto = [&](int32_t s) {
-        while (next_cand_slot <= s && next_cand_slot < n_slots) {
-            for (uint8_t b : cand[next_cand_slot]) {
-                if (static_cast<int64_t>(new_seq.size()) >= max_len) break;
-                new_seq.push_back(b);
+        while (cand_cur < cand_slot.size() && cand_slot[cand_cur] <= s) {
+            if (static_cast<int64_t>(new_seq.size()) < max_len) {
+                new_seq.push_back(cand_base[cand_cur]);
                 new_del.push_back(0);
-                new_slots_local.push_back(next_cand_slot);
+                new_slots_local.push_back(cand_slot[cand_cur]);
             }
-            ++next_cand_slot;
+            ++cand_cur;
         }
     };
     for (int32_t v : path) {
