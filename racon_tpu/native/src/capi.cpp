@@ -8,6 +8,7 @@
 #include "overlapio.hpp"
 #include "poa.hpp"
 
+#include <cstring>
 #include <mutex>
 
 extern "C" {
@@ -482,8 +483,20 @@ void rt_opstream_packed_to_ops_batch(const uint8_t* codes, int64_t n_items,
             out_ops_cap ? out_ops_cap[i] : out_ops_off[i + 1] - out_ops_off[i];
         int64_t cnt = 0;
         int32_t prev = -1;
-        for (int64_t k = max_steps - 1; k >= 0; --k) {
+        int64_t k = max_steps - 1;
+        while (k >= 0) {
+            // all-skip byte groups (0xFF = four 0b11 steps) dominate the
+            // pad tail — hop over 8 bytes (32 steps) at a time
+            if ((k & 31) == 31 && k >= 31) {
+                uint64_t w;
+                std::memcpy(&w, s + (k >> 2) - 7, 8);
+                if (w == ~uint64_t{0}) {
+                    k -= 32;
+                    continue;
+                }
+            }
             const int32_t op = (s[k >> 2] >> (2 * (k & 3))) & 3;
+            --k;
             if (op == 3) continue;
             if (op == prev && cnt > 0) {
                 dst[(cnt - 1) * 2 + 1] += 1;
@@ -513,8 +526,20 @@ void rt_opstream_rle_to_ops_batch(const uint8_t* codes, int64_t n_items,
             out_ops_cap ? out_ops_cap[i] : out_ops_off[i + 1] - out_ops_off[i];
         int64_t cnt = 0;
         int32_t prev = -1;
-        for (int64_t k = max_events - 1; k >= 0; --k) {
+        int64_t k = max_events - 1;
+        while (k >= 0) {
+            // zero bytes (skip) fill the pad tail and are common in the
+            // body — hop over 8-byte all-zero groups in one compare
+            if (k >= 7) {
+                uint64_t w;
+                std::memcpy(&w, s + k - 7, 8);
+                if (w == 0) {
+                    k -= 8;
+                    continue;
+                }
+            }
             const uint8_t v = s[k];
+            --k;
             if (v == 0) continue;
             int32_t op, len;
             if (v <= 200) { op = 0; len = v; }

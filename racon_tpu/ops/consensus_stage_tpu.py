@@ -454,10 +454,18 @@ class TpuConsensusStage:
 
         # 4. decode the op streams IN PLACE into the merge's padded per-item
         # layout (capacity m+n+2 runs per item — a real stream never yields
-        # more): no per-chunk allocation, no assembly gather
+        # more): no per-chunk allocation, no assembly gather. The backing
+        # buffer is grow-only and reused across rounds/cohorts (calls never
+        # overlap): a fresh np.empty per round re-pays soft page faults on
+        # every touched page of a ~100MB+ region.
         ops_off2 = np.zeros(n_items + 1, np.int64)
         np.cumsum(mlen + nlen + 2, out=ops_off2[1:])
-        ops_blob = np.empty((int(ops_off2[-1]), 2), np.int32)
+        need = int(ops_off2[-1]) * 2
+        buf = getattr(self, "_ops_scratch", None)
+        if buf is None or buf.size < need:
+            buf = np.empty(need + need // 4, np.int32)
+            self._ops_scratch = buf
+        ops_blob = buf[:need].reshape(-1, 2)
         fetch_s = 0.0
         for sel, cap, w_band, fmt, payload in ctx["pending"]:
             tf = time.perf_counter()
