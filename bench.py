@@ -296,6 +296,22 @@ def main():
         "all_runs_s": [round(t, 3) for t in times],
     }
 
+    # host-thread scaling of the TPU-path stage: the host merge is the
+    # dominant serial-per-host cost (see host_bound_pct); it parallelizes
+    # over windows, so windows/s scales with host cores until the device
+    # becomes the wall. threads=1 vs threads=2 (all this box has) pins the
+    # slope; real TPU hosts have 1-2 orders of magnitude more vCPUs.
+    try:
+        import dataclasses
+        cfg1 = dataclasses.replace(cfg, num_threads=1)
+        t1, _ = run_stage(tpu, windows, cfg1)
+        ledger["host_thread_scaling"] = {
+            "threads_1_windows_per_s": round(windows.num_windows / t1, 2),
+            "threads_2_windows_per_s": round(tpu_wps, 2),
+        }
+    except Exception as e:  # pragma: no cover
+        ledger["host_thread_scaling"] = {"error": str(e)}
+
     # device-only kernel throughput + speed-of-light accounting (real
     # chips only: the transposed kernel has no interpret mode)
     if not tpu.interpret:

@@ -93,6 +93,10 @@ def main():
     ap.add_argument("--workdir", default="/tmp/racon_tpu_genome_scale")
     ap.add_argument("--verbose", action="store_true",
                     help="show the per-stage logger timers on stderr")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="run the full polish pipeline N times in-process; "
+                    "iteration 1 is the one-shot (cold program ingest) "
+                    "number, later ones the warm steady state")
     a = ap.parse_args()
 
     os.makedirs(a.workdir, exist_ok=True)
@@ -107,25 +111,33 @@ def main():
 
     cfg = PolisherConfig(backend=a.backend, num_threads=a.threads,
                          match=5, mismatch=-4, gap=-8)
-    p = create_polisher(os.path.join(a.workdir, "reads.fasta"),
-                        os.path.join(a.workdir, "ovl.paf"),
-                        os.path.join(a.workdir, "draft.fasta"), cfg)
-    quiet = (contextlib.nullcontext() if a.verbose
-             else contextlib.redirect_stderr(io.StringIO()))
-    t0 = time.time()
-    with quiet:
-        p.initialize()
-    t1 = time.time()
-    quiet = (contextlib.nullcontext() if a.verbose
-             else contextlib.redirect_stderr(io.StringIO()))
-    with quiet:
-        out = p.polish(drop_unpolished_sequences=True)
-    t2 = time.time()
+    runs = []
+    for it in range(max(1, a.repeat)):
+        p = create_polisher(os.path.join(a.workdir, "reads.fasta"),
+                            os.path.join(a.workdir, "ovl.paf"),
+                            os.path.join(a.workdir, "draft.fasta"), cfg)
+        quiet = (contextlib.nullcontext() if a.verbose
+                 else contextlib.redirect_stderr(io.StringIO()))
+        t0 = time.time()
+        with quiet:
+            p.initialize()
+        t1 = time.time()
+        quiet = (contextlib.nullcontext() if a.verbose
+                 else contextlib.redirect_stderr(io.StringIO()))
+        with quiet:
+            out = p.polish(drop_unpolished_sequences=True)
+        t2 = time.time()
+        tag = "one-shot" if it == 0 else "warm"
+        n_win = p.windows.num_windows
+        print(f"[{tag}] initialize (parse+align+window): {t1-t0:.1f}s",
+              flush=True)
+        print(f"[{tag}] polish ({n_win} windows): {t2-t1:.1f}s "
+              f"({n_win/(t2-t1):.0f} windows/s)", flush=True)
+        runs.append({"initialize_s": round(t1 - t0, 1),
+                     "polish_s": round(t2 - t1, 1),
+                     "windows_per_s": round(n_win / (t2 - t1), 1)})
     polished = out[0][1]
     n_win = p.windows.num_windows
-    print(f"initialize (parse+align+window): {t1-t0:.1f}s", flush=True)
-    print(f"polish ({n_win} windows): {t2-t1:.1f}s "
-          f"({n_win/(t2-t1):.0f} windows/s)", flush=True)
 
     # FULL-genome exact edit distance vs truth (the Myers host aligner
     # makes this feasible: ~1 min at 4.6 Mb), plus the draft's for scale
@@ -145,10 +157,11 @@ def main():
     rec = {"genome_bp": genome_bp, "coverage": a.coverage,
            "read_len": a.read_len, "read_error": a.error,
            "backend": a.backend, "threads": a.threads,
-           "initialize_s": round(t1 - t0, 1),
-           "polish_s": round(t2 - t1, 1),
+           "initialize_s": runs[0]["initialize_s"],
+           "polish_s": runs[0]["polish_s"],
            "windows": n_win,
-           "windows_per_s": round(n_win / (t2 - t1), 1),
+           "windows_per_s": runs[0]["windows_per_s"],
+           "runs": runs,
            "edit_vs_truth": int(d), "identity_pct": round(ident, 4),
            "draft_edit": int(d_draft),
            "draft_identity_pct": round(ident_draft, 4)}
