@@ -71,11 +71,15 @@ def build_workload(seed=1234, n_windows=None, window_len=None):
     names = [b"ctg"]
     parts = [draft]
     qid = 1
-    # reads tile the target; each read ~2kb covering 4 windows, staggered.
+    # reads tile the target; each read ~2kb covering 4 windows, staggered
+    # so every window sees ~DEPTH layers (read coverage = read_len/step).
+    # NOTE (round 2): step was read_len_t // (DEPTH // 4), which yields ~6
+    # layers/window, not the advertised 20 — numbers before this fix are a
+    # ~6-deep workload and are NOT comparable (see PLAN.md M14).
     # read r spans draft[start:end]; its error-free source is the matching
     # true-coordinate slice (keep[] maps between the two systems)
     read_len_t = 4 * window_len
-    step = read_len_t // (DEPTH // 4)
+    step = max(1, read_len_t // DEPTH)
     for start in range(0, len(draft) - 100, step):
         end = min(start + read_len_t, len(draft))
         seg = true[keep[start] : keep[end - 1] + 1]
@@ -250,8 +254,11 @@ def main():
                          match=5, mismatch=-4, gap=-8)
     windows, true = build_workload()
 
+    lay_per_win = (len(windows.lay_win) / windows.num_windows
+                   if windows.num_windows else 0.0)
     ledger = {"workload": {"n_windows": windows.num_windows,
                            "window_len": WINDOW_LEN, "depth": DEPTH,
+                           "layers_per_window_measured": round(lay_per_win, 2),
                            "read_error": ERR, "host_threads":
                            cfg.num_threads}}
 

@@ -81,6 +81,12 @@ def _configure(lib: C.CDLL) -> C.CDLL:
         _u8p, _i64p, _i64p, C.c_int64, C.c_int64, _u8p, C.c_int32]
     lib.rt_gather_ranges.argtypes = [
         _u8p, C.c_int64, _i64p, _i64p, _i64p, C.c_int64, _u8p, C.c_int32]
+    lib.rt_compose_slots.argtypes = [
+        _i64p, _i64p, _i64p, _i32p, _i64p, _i64p, _i64p, C.c_int64, _i64p,
+        C.c_int32]
+    lib.rt_project_spans.argtypes = [
+        _i64p, _i64p, _i64p, _i64p, _i64p, C.c_int64, _i64p, _i64p,
+        C.c_int32]
     lib.rt_poa_round_batch.argtypes = [
         C.c_int64, _u8p, _i64p, _i32p, _i64p, _u8p, _i64p, _i32p, _i32p,
         _i32p, _i64p, C.c_void_p, C.c_int32, C.c_int32, C.c_int32, C.c_int32,
@@ -465,6 +471,44 @@ def pack_rows_bits(blob, starts, ends, cap, n_threads):
                           np.ascontiguousarray(ends, np.int64), B, cap,
                           out, n_threads)
     return out
+
+
+def compose_slots(slots, bb_off, lens, local, src_off, new_len, n_threads):
+    """Refinement-state slot composition: out[sum(new_len)] with
+    out[dst_off[z]+j] = slots[bb_off[z] + min(local[src_off[z]+j],
+    lens[z]-1)] — one threaded native pass instead of the numpy
+    repeat/fancy-index chain."""
+    lib = get_lib()
+    n = len(new_len)
+    new_len = np.ascontiguousarray(new_len, np.int64)
+    dst_off = np.zeros(n + 1, np.int64)
+    np.cumsum(new_len, out=dst_off[1:])
+    out = np.empty(int(dst_off[-1]), np.int64)
+    lib.rt_compose_slots(
+        np.ascontiguousarray(slots, np.int64),
+        np.ascontiguousarray(bb_off, np.int64),
+        np.ascontiguousarray(lens, np.int64),
+        np.ascontiguousarray(local, np.int32),
+        np.ascontiguousarray(src_off, np.int64), new_len, dst_off, n, out,
+        n_threads)
+    return out, dst_off
+
+
+def project_spans(slots, bb_off, item_wz, begin, end, n_threads):
+    """Per-item span projection onto each window's ascending slot run
+    (binary search + the reference's 1% full-span rule,
+    /root/reference/src/window.cpp:87-92). Returns clamped (s0, s1)."""
+    lib = get_lib()
+    n = len(item_wz)
+    s0 = np.empty(n, np.int64)
+    s1 = np.empty(n, np.int64)
+    lib.rt_project_spans(
+        np.ascontiguousarray(slots, np.int64),
+        np.ascontiguousarray(bb_off, np.int64),
+        np.ascontiguousarray(item_wz, np.int64),
+        np.ascontiguousarray(begin, np.int64),
+        np.ascontiguousarray(end, np.int64), n, s0, s1, n_threads)
+    return s0, s1
 
 
 def gather_ranges(src, starts, lens, n_threads, dst=None, dst_off=None):

@@ -8,6 +8,7 @@
 #include "overlapio.hpp"
 #include "poa.hpp"
 
+#include <algorithm>
 #include <cstring>
 #include <mutex>
 
@@ -645,6 +646,59 @@ void rt_gather_ranges(const uint8_t* src, int64_t elem,
             std::memcpy(dst + dst_off[i] * elem, src + starts[i] * elem,
                         lens[i] * elem);
         }
+    });
+}
+
+// slot composition for the refinement-state replacement (the tail of a
+// consensus round): out[dst_off[z] + j] = slots[bb_off[z] +
+// min(local[src_off[z] + j], lens[z] - 1)] — replaces a 5-pass numpy
+// repeat/fancy-index chain over millions of elements with one threaded pass
+void rt_compose_slots(const int64_t* slots, const int64_t* bb_off,
+                      const int64_t* lens, const int32_t* local,
+                      const int64_t* src_off, const int64_t* new_len,
+                      const int64_t* dst_off, int64_t n_windows,
+                      int64_t* out, int32_t n_threads) {
+    rt::parallel_for(n_windows, n_threads, [&](int64_t z, int32_t) {
+        const int64_t* base = slots + bb_off[z];
+        const int64_t hi = lens[z] - 1;
+        const int32_t* lo = local + src_off[z];
+        int64_t* dst = out + dst_off[z];
+        const int64_t m = new_len[z];
+        for (int64_t j = 0; j < m; ++j) {
+            int64_t s = lo[j];
+            if (s > hi) s = hi;
+            dst[j] = base[s];
+        }
+    });
+}
+
+// span projection for a round's items: binary-search each item's
+// [begin, end] (original coordinates) inside its window's ascending slot
+// run — replaces the per-round global keys/searchsorted numpy chain.
+// Applies the reference's 1%-of-backbone full-span rule
+// (src/window.cpp:87-92) and emits clamped [s0, s1] slot indices.
+void rt_project_spans(const int64_t* slots, const int64_t* bb_off,
+                      const int64_t* item_wz, const int64_t* begin,
+                      const int64_t* end, int64_t n_items, int64_t* out_s0,
+                      int64_t* out_s1, int32_t n_threads) {
+    rt::parallel_for(n_items, n_threads, [&](int64_t i, int32_t) {
+        const int64_t z = item_wz[i];
+        const int64_t* lo = slots + bb_off[z];
+        const int64_t* hi = slots + bb_off[z + 1];
+        const int64_t n = hi - lo;
+        int64_t b = std::lower_bound(lo, hi, begin[i]) - lo;
+        int64_t e = (std::upper_bound(lo, hi, end[i]) - lo) - 1;
+        if (b > n - 1) b = n - 1;
+        if (b < 0) b = 0;
+        if (e > n - 1) e = n - 1;
+        if (e < b) e = b;
+        const double offset = 0.01 * n;
+        if (b < offset && e > n - offset) {
+            b = 0;
+            e = n - 1;
+        }
+        out_s0[i] = b;
+        out_s1[i] = e;
     });
 }
 

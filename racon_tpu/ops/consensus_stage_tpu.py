@@ -289,9 +289,10 @@ class TpuConsensusStage:
         n_items = st.n_items
 
         # 1. per-round backbone blobs (already flat in the state) + span
-        # projection via ONE global searchsorted: per-window slot arrays are
-        # ascending and bounded by the original window length, so keying
-        # them as window_index*OFFSET + slot makes the concatenation sorted
+        # projection: per-window slot arrays are ascending, so each item's
+        # [begin, end] maps to a slot range by binary search (native,
+        # threaded — replaces a global keyed searchsorted whose key
+        # construction alone streamed the whole backbone per round)
         cur_blob = state.cur
         bb_off = state.off
         lens = np.diff(bb_off)
@@ -300,20 +301,9 @@ class TpuConsensusStage:
         del8 = del32.astype(np.int8)
         curw_blob = state.w
 
-        OFFK = int(windows.window_length) * 2 + 2
-        keys = state.slots + OFFK * np.repeat(
-            np.arange(len(active), dtype=np.int64), lens)
-        lb = windows.lay_begin[st.item_li] + OFFK * st.item_wz
-        le = windows.lay_end[st.item_li] + OFFK * st.item_wz
-        s0 = np.searchsorted(keys, lb, side="left") - bb_off[st.item_wz]
-        s1 = (np.searchsorted(keys, le, side="right") - 1
-              - bb_off[st.item_wz])
-        n_of = lens[st.item_wz]
-        s0 = np.clip(s0, 0, n_of - 1)
-        s1 = np.maximum(s0, np.minimum(s1, n_of - 1))
-        full = (s0 < 0.01 * n_of) & (s1 > n_of - 0.01 * n_of)
-        sb = np.where(full, 0, s0)
-        se = np.where(full, n_of - 1, s1)
+        sb, se = bindings.project_spans(
+            state.slots, bb_off, st.item_wz,
+            windows.lay_begin[st.item_li], windows.lay_end[st.item_li], thr)
         nlen = se - sb + 1
         mlen = st.lay_len
         t_start = bb_off[st.item_wz] + sb
@@ -467,6 +457,7 @@ class TpuConsensusStage:
             self._ops_scratch = buf
         ops_blob = buf[:need].reshape(-1, 2)
         fetch_s = 0.0
+        _t_dec = time.perf_counter()
         for sel, cap, w_band, fmt, payload in ctx["pending"]:
             tf = time.perf_counter()
             payload = np.asarray(payload)[: len(sel)]
@@ -485,9 +476,13 @@ class TpuConsensusStage:
         if hasattr(self, "prof"):
             self.prof["fetch_s"] += fetch_s
             self.prof["_fetch_last"] = fetch_s
+            self.prof["decode_s"] += time.perf_counter() - _t_dec - fetch_s
 
         # host fallback alignment (per-column costs)
         host_idx = np.concatenate(host_parts)
+        if hasattr(self, "prof"):
+            self.prof["host_fallback_items"] += len(host_idx)
+            _t_hf = time.perf_counter()
         if len(host_idx):
             hm = mlen[host_idx]
             hn = nlen[host_idx]
@@ -505,6 +500,9 @@ class TpuConsensusStage:
             bindings.gather_ranges(ops_flat, ops_off[:-1], counts, thr,
                                    dst=ops_blob,
                                    dst_off=ops_off2[:-1][host_idx])
+        if hasattr(self, "prof"):
+            self.prof["host_fallback_s"] += time.perf_counter() - _t_hf
+            _t_mg = time.perf_counter()
 
         # 5. merge round per window (native)
         capacity = 2 * lens + 512
@@ -515,6 +513,25 @@ class TpuConsensusStage:
             final, tgs, cfg.trim, gap, cfg.candidate_frac,
             cfg.candidate_min, max_expand, st.win_id, st.win_rank,
             thr, capacity, with_final=not final, ops_cnt=cnt)
+        out_blob, out_off, out_len, out_del, out_slots, out_pol = res[:6]
+        if hasattr(self, "prof"):
+            self.prof["poa_round_s"] += time.perf_counter() - _t_mg
+            _t_gl = time.perf_counter()
+        try:
+            return self._finish_round(ctx, final, res, consensus, polished,
+                                      bindings)
+        finally:
+            if hasattr(self, "prof"):
+                self.prof["stateglue_s"] += time.perf_counter() - _t_gl
+
+    def _finish_round(self, ctx, final, res, consensus, polished, bindings):
+        """Tail of _round_complete: emit finals / convergence retirement /
+        state replacement (split out so the glue can be timed)."""
+        active = ctx["active"]
+        state = ctx["state"]
+        bb_off = ctx["bb_off"]
+        lens = ctx["lens"]
+        thr = self.cfg.num_threads
         out_blob, out_off, out_len, out_del, out_slots, out_pol = res[:6]
 
         n_act = len(active)
@@ -544,18 +561,14 @@ class TpuConsensusStage:
                 polished[active[z]] = bool(fin_pol[z])
 
         # vectorized state replacement: gather the merge outputs into fresh
-        # flat blobs, compose slots through to original coordinates
+        # flat blobs, compose slots through to original coordinates (one
+        # threaded native pass straight off the merge's padded layout)
         new_len = out_len.astype(np.int64)
         starts = out_off[:n_act]
         new_cur = bindings.gather_ranges(out_blob, starts, new_len, thr)
         new_del = bindings.gather_ranges(out_del, starts, new_len, thr)
-        local = bindings.gather_ranges(out_slots, starts, new_len,
-                                       thr).astype(np.int64)
-        wz_e = np.repeat(np.arange(n_act, dtype=np.int64), new_len)
-        new_slots = state.slots[bb_off[wz_e]
-                                + np.minimum(local, lens[wz_e] - 1)]
-        new_off = np.zeros(n_act + 1, np.int64)
-        np.cumsum(new_len, out=new_off[1:])
+        new_slots, new_off = bindings.compose_slots(
+            state.slots, bb_off, lens, out_slots, starts, new_len, thr)
 
         state.cur = new_cur
         state.dcost = new_del
