@@ -299,6 +299,13 @@ def main():
         "device_wait_s": round(fetch, 3),  # underestimates device busy:
         # cohort pipelining overlaps other dispatches with the host merge
         "host_merge_s": round(merge, 3),
+        # merge_s sub-split: native star-POA merge, op-stream decode,
+        # host-fallback realignment of band escapes, state glue
+        "merge_poa_round_s": round(prof.get("poa_round_s", 0.0), 3),
+        "merge_decode_s": round(prof.get("decode_s", 0.0), 3),
+        "merge_host_fallback_s": round(prof.get("host_fallback_s", 0.0), 3),
+        "merge_state_glue_s": round(prof.get("stateglue_s", 0.0), 3),
+        "host_fallback_items": int(prof.get("host_fallback_items", 0)),
         "host_bound_pct": round(100.0 * (disp + merge) / tpu_dt, 1),
         "all_runs_s": [round(t, 3) for t in times],
     }

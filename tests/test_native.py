@@ -220,3 +220,58 @@ def test_consensus_matches_python_oracle():
                                         True, (3, -5, -4))
         assert got == want, f"trial {trial}"
         assert got_ok == want_ok
+
+
+def test_compose_slots_matches_numpy():
+    from racon_tpu.native import bindings
+
+    rng = np.random.default_rng(9)
+    n_win = 17
+    lens = rng.integers(1, 40, n_win).astype(np.int64)
+    bb_off = np.zeros(n_win + 1, np.int64)
+    np.cumsum(lens, out=bb_off[1:])
+    slots = rng.integers(0, 1000, int(bb_off[-1])).astype(np.int64)
+    new_len = rng.integers(0, 50, n_win).astype(np.int64)
+    src_off = np.zeros(n_win, np.int64)
+    np.cumsum(new_len[:-1], out=src_off[1:])
+    local = rng.integers(0, 60, int(new_len.sum())).astype(np.int32)
+
+    got, got_off = bindings.compose_slots(slots, bb_off, lens, local,
+                                          src_off, new_len, 2)
+    # numpy reference: the fancy-index chain the native pass replaced
+    wz_e = np.repeat(np.arange(n_win, dtype=np.int64), new_len)
+    want = slots[bb_off[wz_e]
+                 + np.minimum(local.astype(np.int64), lens[wz_e] - 1)]
+    assert np.array_equal(got, want)
+    assert np.array_equal(np.diff(got_off), new_len)
+
+
+def test_project_spans_matches_reference_rule():
+    from racon_tpu.native import bindings
+
+    rng = np.random.default_rng(10)
+    n_win = 9
+    lens = rng.integers(3, 60, n_win).astype(np.int64)
+    bb_off = np.zeros(n_win + 1, np.int64)
+    np.cumsum(lens, out=bb_off[1:])
+    # ascending (with duplicates) per-window slot runs
+    slots = np.concatenate([
+        np.sort(rng.integers(0, 100, int(lens[z]))) for z in range(n_win)
+    ]).astype(np.int64)
+    n_items = 200
+    wz = rng.integers(0, n_win, n_items).astype(np.int64)
+    b = rng.integers(0, 100, n_items).astype(np.int64)
+    e = np.minimum(99, b + rng.integers(0, 100, n_items)).astype(np.int64)
+
+    s0, s1 = bindings.project_spans(slots, bb_off, wz, b, e, 2)
+    for i in range(n_items):
+        z = wz[i]
+        run = slots[bb_off[z] : bb_off[z + 1]]
+        n = len(run)
+        wb = int(np.searchsorted(run, b[i], side="left"))
+        we = int(np.searchsorted(run, e[i], side="right")) - 1
+        wb = min(max(wb, 0), n - 1)
+        we = max(wb, min(we, n - 1))
+        if wb < 0.01 * n and we > n - 0.01 * n:
+            wb, we = 0, n - 1
+        assert (s0[i], s1[i]) == (wb, we), i
