@@ -102,6 +102,21 @@ struct Graph {
         last_in[v] = e;
     }
 
+    // append a new edge known not to exist yet (head was just created):
+    // bump_edge minus the guaranteed-miss out-list scan
+    void add_edge_new(int32_t u, int32_t v, int64_t w) {
+        const int32_t e = static_cast<int32_t>(e_tail.size());
+        e_tail.push_back(u);
+        e_head.push_back(v);
+        e_weight.push_back(w);
+        next_in.push_back(-1);
+        next_out.push_back(-1);
+        if (last_out[u] >= 0) next_out[last_out[u]] = e; else first_out[u] = e;
+        last_out[u] = e;
+        if (last_in[v] >= 0) next_in[last_in[v]] = e; else first_in[v] = e;
+        last_in[v] = e;
+    }
+
     void init(const uint8_t* backbone, int32_t len, const int32_t* weights) {
         backbone_len = len;
         // bulk backbone construction (identical node/edge ids and list
@@ -207,6 +222,7 @@ struct Graph {
                     }
                     const uint8_t b = data[q];
                     int32_t node;
+                    bool created = false;
                     if (n_base[t] == b) {
                         node = t;
                     } else {
@@ -223,12 +239,15 @@ struct Graph {
                             if (var_tail[t] >= 0) node_next[var_tail[t]] = node;
                             else var_head[t] = node;
                             var_tail[t] = node;
+                            created = true;
                         }
                     }
                     n_cov[node] += 1;
                     if (prev >= 0) {
-                        bump_edge(prev, node,
-                                  int64_t(weights[q - 1]) + weights[q]);
+                        const int64_t w =
+                            int64_t(weights[q - 1]) + weights[q];
+                        if (created) add_edge_new(prev, node, w);
+                        else bump_edge(prev, node, w);
                     }
                     prev = node;
                     ++q;
@@ -246,6 +265,7 @@ struct Graph {
                         tails.resize(depth + 1, -1);
                     }
                     int32_t node = -1;
+                    bool created = false;
                     for (int32_t v = heads[depth]; v >= 0; v = node_next[v]) {
                         if (n_base[v] == b) {
                             node = v;
@@ -257,11 +277,14 @@ struct Graph {
                         if (tails[depth] >= 0) node_next[tails[depth]] = node;
                         else heads[depth] = node;
                         tails[depth] = node;
+                        created = true;
                     }
                     n_cov[node] += 1;
                     if (prev >= 0) {
-                        bump_edge(prev, node,
-                                  int64_t(weights[q - 1]) + weights[q]);
+                        const int64_t w =
+                            int64_t(weights[q - 1]) + weights[q];
+                        if (created) add_edge_new(prev, node, w);
+                        else bump_edge(prev, node, w);
                     }
                     prev = node;
                     ++q;
