@@ -661,12 +661,14 @@ void rt_compose_slots(const int64_t* slots, const int64_t* bb_off,
     rt::parallel_for(n_windows, n_threads, [&](int64_t z, int32_t) {
         const int64_t* base = slots + bb_off[z];
         const int64_t hi = lens[z] - 1;
+        if (hi < 0) return;  // empty backbone: nothing addressable
         const int32_t* lo = local + src_off[z];
         int64_t* dst = out + dst_off[z];
         const int64_t m = new_len[z];
         for (int64_t j = 0; j < m; ++j) {
             int64_t s = lo[j];
             if (s > hi) s = hi;
+            if (s < 0) s = 0;
             dst[j] = base[s];
         }
     });
@@ -686,6 +688,11 @@ void rt_project_spans(const int64_t* slots, const int64_t* bb_off,
         const int64_t* lo = slots + bb_off[z];
         const int64_t* hi = slots + bb_off[z + 1];
         const int64_t n = hi - lo;
+        if (n <= 0) {  // empty slot run: emit an explicit no-span sentinel
+            out_s0[i] = -1;  // (callers only ever pass non-empty windows;
+            out_s1[i] = -1;  // fail loudly instead of silently projecting
+            return;          // into a neighboring window's slots)
+        }
         int64_t b = std::lower_bound(lo, hi, begin[i]) - lo;
         int64_t e = (std::upper_bound(lo, hi, end[i]) - lo) - 1;
         if (b > n - 1) b = n - 1;

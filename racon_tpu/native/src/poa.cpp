@@ -191,6 +191,12 @@ struct Graph {
                         // <= n_base.size()) and inside the layer (q + run
                         // <= len), so 8-byte loads below never leave either
                         // buffer
+                        // ctzll(x) >> 3 finds the first differing BYTE
+                        // only when byte 0 holds the lowest bits
+                        static_assert(__BYTE_ORDER__ ==
+                                          __ORDER_LITTLE_ENDIAN__,
+                                      "word-at-a-time mismatch scan assumes "
+                                      "little-endian byte order");
                         int32_t d = 1;
                         while (u + d + 8 <= run) {
                             uint64_t a, b;

@@ -18,6 +18,14 @@ import os
 import sys
 
 
+def _accel_plugin_present() -> bool:
+    # the axon sitecustomize registers its PJRT plugin whenever this env
+    # var is set; even with a correct CPU device count, a registered
+    # accelerator platform breaks interpret-mode pallas tests, so the run
+    # must be restarted with the registration disabled (VERDICT r2 weak 3)
+    return bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+
+
 def _backends_frozen() -> bool:
     try:
         import jax
@@ -32,7 +40,8 @@ def _backends_frozen() -> bool:
         return False
 
 
-if os.environ.get("RACON_TPU_TEST_REEXEC") != "1" and _backends_frozen():
+if os.environ.get("RACON_TPU_TEST_REEXEC") != "1" and (
+        _accel_plugin_present() or _backends_frozen()):
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)  # axon register() is the freezer
     env["RACON_TPU_TEST_REEXEC"] = "1"
