@@ -73,6 +73,9 @@ def _configure(lib: C.CDLL) -> C.CDLL:
     lib.rt_opstream_rle_to_ops_batch.argtypes = [
         _u8p, C.c_int64, C.c_int64, C.c_int32, _i32p, _i64p, C.c_void_p,
         _i64p]
+    lib.rt_opstream_rows_to_ops_batch.argtypes = [
+        _u8p, C.c_int64, C.c_int64, C.c_int32, _i32p, _i64p, C.c_void_p,
+        _i64p]
     lib.rt_pack_rows.argtypes = [
         _u8p, _i64p, _i64p, C.c_int64, C.c_int64, C.c_uint8, _u8p, C.c_int32]
     lib.rt_pack_rows_nib.argtypes = [
@@ -429,6 +432,16 @@ def opstream_rle_to_ops_batch(codes, max_events, m, n, n_threads,
     see _opstream_common for the in-place mode."""
     return _opstream_common(get_lib().rt_opstream_rle_to_ops_batch,
                             codes, max_events, m, n, n_threads, dst, dst_off)
+
+
+def opstream_rows_to_ops_batch(codes, budget, m, n, n_threads,
+                               dst=None, dst_off=None):
+    """codes: (B, m_cap + 1) uint8 rows-walk records (one byte per query
+    row + the final-deletions byte; nw_kernel.walk_rows_t payload minus
+    the escape column). Returns (ops flat (sum,2) int32, offsets, counts);
+    see _opstream_common for the in-place mode."""
+    return _opstream_common(get_lib().rt_opstream_rows_to_ops_batch,
+                            codes, budget, m, n, n_threads, dst, dst_off)
 
 
 def pack_rows(blob, starts, ends, cap, fill, n_threads, dtype=np.int8):

@@ -559,6 +559,48 @@ void rt_opstream_rle_to_ops_batch(const uint8_t* codes, int64_t n_items,
     });
 }
 
+// rows-walk decoder: codes row i is [rec bytes for query rows 1..m_cap,
+// final-deletions byte] (width = budget = m_cap + 1). rec byte: bits 0-1
+// 0 = inactive row / 1 = diagonal / 2 = up(insertion), bits 2-7 = deletion
+// (LEFT) steps taken in the row before the transition. Forward op order:
+// final deletions first, then per ascending row: transition op, then the
+// row's deletions (the backward emission reversed). Same merged (op, len)
+// output as the other decoders.
+void rt_opstream_rows_to_ops_batch(const uint8_t* codes, int64_t n_items,
+                                   int64_t budget, int32_t n_threads,
+                                   int32_t* out_ops,
+                                   const int64_t* out_ops_off,
+                                   const int64_t* out_ops_cap,
+                                   int64_t* out_ops_count) {
+    rt::parallel_for(n_items, n_threads, [&](int64_t i, int32_t) {
+        const uint8_t* s = codes + i * budget;
+        int32_t* dst = out_ops + out_ops_off[i] * 2;
+        const int64_t cap =
+            out_ops_cap ? out_ops_cap[i] : out_ops_off[i + 1] - out_ops_off[i];
+        int64_t cnt = 0;
+        int32_t prev = -1;
+        auto emit = [&](int32_t op, int32_t len) {
+            if (len <= 0) return;
+            if (op == prev && cnt > 0) {
+                dst[(cnt - 1) * 2 + 1] += len;
+            } else if (cnt < cap) {
+                dst[cnt * 2] = op;
+                dst[cnt * 2 + 1] = len;
+                ++cnt;
+                prev = op;
+            }
+        };
+        emit(2, s[budget - 1]);  // final (row 0) deletions
+        for (int64_t r = 0; r < budget - 1; ++r) {
+            const uint8_t v = s[r];
+            if (!(v & 3)) break;  // first inactive row: rows r+1.. unused
+            emit((v & 3) == 1 ? 0 : 1, 1);
+            emit(2, v >> 2);
+        }
+        out_ops_count[i] = cnt;
+    });
+}
+
 // pad variable-length blob slices into a dense (n_rows, cap) byte matrix —
 // the host-side batch packer for device payloads (threaded memcpy)
 void rt_pack_rows(const uint8_t* blob, const int64_t* starts,

@@ -116,7 +116,7 @@ class TpuAlignStage:
         if not self.interpret:
             from ..parallel.mesh import active_mesh
             from .nw_kernel import (padded_batch, prewarm_tiers_async,
-                                    t_big_fits, t_kernel_fits)
+                                    walk_fmt)
             if active_mesh() is None:
                 specs = set()
                 for ti, (cap, band) in enumerate(tiers):
@@ -125,12 +125,10 @@ class TpuAlignStage:
                         continue
                     step = _chunk_size(cap, band)
                     fixed_b = step if cap >= 5120 else None
-                    rle = (t_kernel_fits(cap, cap, band)
-                           or t_big_fits(cap, cap, band))
                     for b in {min(step, k - c0) for c0 in range(0, k, step)}:
-                        specs.add((cap, band,
-                                   padded_batch(b, fixed_b, False, 1),
-                                   0, -1, -1, rle))
+                        bp = padded_batch(b, fixed_b, False, 1)
+                        specs.add((cap, band, bp, 0, -1, -1,
+                                   walk_fmt(cap, cap, band, False, bp)))
                 prewarm_tiers_async(specs)
 
         all_ops: list[np.ndarray | None] = [None] * len(indices)
@@ -162,7 +160,11 @@ class TpuAlignStage:
             payload = np.asarray(payload)[: len(sel)]
             codes = np.ascontiguousarray(payload[:, :-1])
             escaped = payload[:, -1] != 0
-            if fmt == "rle":
+            if fmt == "rows":
+                ops_flat, ops_off, counts = \
+                    bindings.opstream_rows_to_ops_batch(
+                        codes, cap + 1, mlen[sel], nlen[sel], thr)
+            elif fmt == "rle":
                 ops_flat, ops_off, counts = \
                     bindings.opstream_rle_to_ops_batch(
                         codes, rle_events(cap, cap, band), mlen[sel],

@@ -345,7 +345,7 @@ class TpuConsensusStage:
         if not self.interpret and self._dev_q is None:
             from ..parallel.mesh import active_mesh
             from .nw_kernel import (padded_batch, prewarm_tiers_async,
-                                    t_big_fits, t_kernel_fits)
+                                    walk_fmt)
             if active_mesh() is None:
                 specs = []
                 for ti, (cap, wb) in enumerate(tiers):
@@ -354,13 +354,12 @@ class TpuConsensusStage:
                         continue
                     step = _chunk_size(cap, wb)
                     fixed_b = step if cap >= 5120 else None
-                    rle = (t_kernel_fits(cap, cap, wb)
-                           or t_big_fits(cap, cap, wb))
                     sizes = {min(step, k - c0) for c0 in range(0, k, step)}
                     for b in sizes:
-                        specs.append((cap, wb, padded_batch(b, fixed_b,
-                                                            False, 1),
-                                      cfg.match, cfg.mismatch, gap, rle))
+                        bp = padded_batch(b, fixed_b, False, 1)
+                        specs.append((cap, wb, bp, cfg.match, cfg.mismatch,
+                                      gap, walk_fmt(cap, cap, wb, False,
+                                                    bp)))
                 prewarm_tiers_async(set(specs))
 
         # 3. device alignment: one fused align+walk dispatch per chunk; all
@@ -386,12 +385,11 @@ class TpuConsensusStage:
                     meta = np.stack(
                         [st.lay_start_dev[sel], mlen[sel], t_start[sel],
                          nlen[sel]], axis=1).astype(np.int32)
-                    payload, _ = align_walk_gather_padded(
+                    payload, _, fmt = align_walk_gather_padded(
                         self._dev_q, dev_t, dev_dc, meta, m_cap=cap,
                         n_cap=cap, w_band=w_band, match=cfg.match,
                         mismatch=cfg.mismatch, gap=gap,
                         interpret=self.interpret, fixed_b=fixed_b)
-                    fmt = "packed2"
                 else:
                     q4 = bindings.pack_rows_nib(
                         st.lay_codes, st.lay_off[sel],
@@ -464,10 +462,15 @@ class TpuConsensusStage:
             fetch_s += time.perf_counter() - tf
             codes = np.ascontiguousarray(payload[:, :-1])
             escaped = payload[:, -1] != 0
-            budget = (rle_events(cap, cap, w_band) if fmt == "rle"
-                      else walk_steps(cap, cap, w_band))
-            decode = (bindings.opstream_rle_to_ops_batch if fmt == "rle"
-                      else bindings.opstream_packed_to_ops_batch)
+            if fmt == "rows":
+                budget = cap + 1
+                decode = bindings.opstream_rows_to_ops_batch
+            elif fmt == "rle":
+                budget = rle_events(cap, cap, w_band)
+                decode = bindings.opstream_rle_to_ops_batch
+            else:
+                budget = walk_steps(cap, cap, w_band)
+                decode = bindings.opstream_packed_to_ops_batch
             _, _, counts = decode(codes, budget, mlen[sel], nlen[sel], thr,
                                   dst=ops_blob, dst_off=ops_off2[:-1][sel])
             kept = ~escaped

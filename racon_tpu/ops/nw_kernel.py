@@ -440,7 +440,7 @@ _prewarmed: set = set()
 
 def prewarm_tiers_async(specs) -> None:
     """AOT-compile the fused align+walk programs for (cap, band, batch,
-    match, mismatch, gap, rle) specs on daemon threads.
+    match, mismatch, gap, fmt) specs on daemon threads.
 
     A cold process otherwise compiles (or, on a tethered chip, ingests —
     10-200 s each, PLAN M12) each tier's program serially at its first
@@ -457,15 +457,18 @@ def prewarm_tiers_async(specs) -> None:
         if spec in _prewarmed:
             continue
         _prewarmed.add(spec)
-        cap, band, bp, match, mismatch, gap, rle = spec
+        cap, band, bp, match, mismatch, gap, fmt = spec
+        if fmt is True or fmt is False:  # legacy boolean (rle) specs
+            fmt = "rle" if fmt else "packed2"
 
         def _go(cap=cap, band=band, bp=bp, match=match, mismatch=mismatch,
-                gap=gap, rle=rle):
+                gap=gap, fmt=fmt):
             try:
                 q4 = _jax.ShapeDtypeStruct((bp, cap // 2), jnp.uint8)
                 dcb = _jax.ShapeDtypeStruct((bp, cap // 8), jnp.uint8)
                 mm = _jax.ShapeDtypeStruct((bp,), jnp.int32)
-                fn = align_walk_rle_batch if rle else align_walk_batch
+                fn = {"rows": align_walk_rows_batch,
+                      "rle": align_walk_rle_batch}.get(fmt, align_walk_batch)
                 fn.lower(q4, q4, dcb, mm, mm, m_cap=cap, n_cap=cap,
                          w_band=band, match=match, mismatch=mismatch,
                          gap=gap).compile()
@@ -514,19 +517,21 @@ def align_walk_padded(q8, t8, dc8, m, n, *, m_cap, n_cap, w_band, match,
         dcb = np.pad(dcb, ((0, pad), (0, 0)), constant_values=0xFF)
         m = np.pad(np.asarray(m), (0, pad))
         n = np.pad(np.asarray(n), (0, pad))
-    use_rle = (not interpret
-               and (t_kernel_fits(m_cap, n_cap, w_band)
-                    or t_big_fits(m_cap, n_cap, w_band))
-               and bp % B_LANE == 0)
-    fmt = "rle" if use_rle else "packed2"
+    fmt = walk_fmt(m_cap, n_cap, w_band, interpret, bp)
     if mesh is not None:
         payload, score = sharded_align_walk(
             mesh, q4, t4, dcb, np.asarray(m, np.int32),
             np.asarray(n, np.int32), m_cap=m_cap, n_cap=n_cap, w_band=w_band,
             match=match, mismatch=mismatch, gap=gap, interpret=interpret,
-            rle=use_rle)
+            fmt=fmt)
         return payload, score, fmt
-    if use_rle:
+    if fmt == "rows":
+        payload, score = align_walk_rows_batch(
+            q4, t4, dcb, np.asarray(m, np.int32), np.asarray(n, np.int32),
+            m_cap=m_cap, n_cap=n_cap, w_band=w_band, match=match,
+            mismatch=mismatch, gap=gap)
+        return payload, score, fmt
+    if fmt == "rle":
         payload, score = align_walk_rle_batch(
             q4, t4, dcb, np.asarray(m, np.int32), np.asarray(n, np.int32),
             m_cap=m_cap, n_cap=n_cap, w_band=w_band, match=match,
@@ -1332,16 +1337,22 @@ def align_walk_gather_core_t(qblob4, tblob4, dcbits, meta, *, m_cap, n_cap,
 
 @functools.partial(jax.jit, static_argnames=("m_cap", "n_cap", "w_band",
                                              "match", "mismatch", "gap",
-                                             "interpret"))
+                                             "interpret", "fmt"))
 def align_walk_gather_batch(qblob4, tblob4, dcbits, meta, *, m_cap, n_cap,
-                            w_band, match, mismatch, gap, interpret=False):
+                            w_band, match, mismatch, gap, interpret=False,
+                            fmt="packed2"):
     """Device-resident fused align+walk: qblob4/tblob4 (L,) uint8
     nibble-packed code blobs (pack_codes4_flat), dcbits (L//8,) uint8
     deletion-cost bitmask blob (pack_bits_flat; bit set = cost `gap`), meta
     (B, 4) int32 [q_start, m, t_start, n]. Pad items use meta rows of
-    zeros. Same outputs as align_walk_batch. On real chips this runs the
-    transposed (sublane-band) kernel; interpret mode keeps the lane-major
-    kernel (whose interpret path is exercised by the CPU test suite)."""
+    zeros. Same outputs as align_walk_batch; fmt picks the payload format
+    (walk_fmt). On real chips this runs the transposed (sublane-band)
+    kernel; interpret mode keeps the lane-major kernel (whose interpret
+    path is exercised by the CPU test suite)."""
+    if fmt == "rows":
+        return align_walk_gather_core_rows_t(
+            qblob4, tblob4, dcbits, meta, m_cap=m_cap, n_cap=n_cap,
+            w_band=w_band, match=match, mismatch=mismatch, gap=gap)
     if not interpret and t_kernel_fits(m_cap, n_cap, w_band):
         return align_walk_gather_core_t(
             qblob4, tblob4, dcbits, meta, m_cap=m_cap, n_cap=n_cap,
@@ -1359,7 +1370,8 @@ def align_walk_gather_padded(qblob4_dev, tblob4_dev, dcbits_dev, meta, *,
     (same padding policy as align_walk_padded: next power of two, min 16,
     or straight to fixed_b; mesh-aligned when sharding). The blob arguments
     should already be on device (utils: device_put_blob) so only meta rides
-    the per-call uplink. Returns (payload, score) for the PADDED batch."""
+    the per-call uplink. Returns (payload, score, fmt) for the PADDED
+    batch."""
     from ..parallel.mesh import active_mesh, sharded_align_walk_gather
 
     B = meta.shape[0]
@@ -1376,15 +1388,22 @@ def align_walk_gather_padded(qblob4_dev, tblob4_dev, dcbits_dev, meta, *,
     bp = -(-bp // unit) * unit
     if bp != B:
         meta = np.pad(np.asarray(meta), ((0, bp - B), (0, 0)))
+    # rows payloads only (gather dispatches are small-tier consensus work);
+    # everything else keeps the 2-bit step stream
+    fmt = walk_fmt(m_cap, n_cap, w_band, interpret, bp)
+    if fmt != "rows":
+        fmt = "packed2"
     if mesh is not None:
-        return sharded_align_walk_gather(
+        payload, score = sharded_align_walk_gather(
             mesh, qblob4_dev, tblob4_dev, dcbits_dev, meta, m_cap=m_cap,
             n_cap=n_cap, w_band=w_band, match=match, mismatch=mismatch,
-            gap=gap, interpret=interpret)
-    return align_walk_gather_batch(
+            gap=gap, interpret=interpret, fmt=fmt)
+        return payload, score, fmt
+    payload, score = align_walk_gather_batch(
         qblob4_dev, tblob4_dev, dcbits_dev, meta, m_cap=m_cap, n_cap=n_cap,
         w_band=w_band, match=match, mismatch=mismatch, gap=gap,
-        interpret=interpret)
+        interpret=interpret, fmt=fmt)
+    return payload, score, fmt
 
 
 def device_put_blob(arr: np.ndarray, bucket_min: int = 1 << 12,
@@ -1560,3 +1579,278 @@ def walk_moves_device(moves, m, n, *, m_cap, n_cap, w_band, max_steps,
     quads = outs.astype(jnp.uint8).reshape(max_steps // 4, 4, B)
     shifts = (2 * jnp.arange(4, dtype=jnp.uint8))[None, :, None]
     return jnp.sum(quads << shifts, axis=1, dtype=jnp.uint8).T, escaped
+
+
+# ---------------------------------------------------------------------- #
+# row-synchronous traceback walk ("rows" walk): the per-step-gather walks
+# above pay one full-array gather per while_loop iteration; this walk
+# instead advances EVERY item one query row per iteration in lockstep
+# (all items pass rows m_cap..1 exactly once — each backward step consumes
+# exactly one query row after its in-row deletion run), so the move data
+# each iteration needs is ONE whole (W, B) plane, streamed through VMEM,
+# and the per-item values come from one-hot sublane reductions — no
+# gathers anywhere. Emission is one record byte per query row:
+#   bits 0-1: 0 = inactive row, 1 = diagonal step, 2 = up (insertion) step
+#   bits 2-7: number of deletion (LEFT) steps taken in this row before the
+#             transition (0..63; larger runs are flagged escaped)
+# plus a final-deletions byte (row 0) and the escape flag. The host
+# decoder (native rt_opstream_rows_to_ops_batch) reconstructs the same
+# forward op lists as the other walks.
+# ---------------------------------------------------------------------- #
+
+REC_DIAG = 1
+REC_UP = 2
+
+
+def rows_payload_width(m_cap: int) -> int:
+    """Payload bytes per item for the rows walk: one record per query row
+    + the final-deletions byte + the escape flag."""
+    return m_cap + 2
+
+
+def _walk_rows_row(mvplane, kvec, esc, active, i, dlo, w_band, kcol):
+    """One backward row step on a (W, BT) move-bit plane. kvec/esc/active
+    are (1, BT) int32; i is the (traced) query row. Returns (rec byte row
+    (1, BT) int32, new kvec, new esc)."""
+    W = w_band
+    # j == 0 lane is forced UP (original walk: src walk_moves_device)
+    k0 = -(i + dlo)
+    mvp = jnp.where(kcol == k0, 1, mvplane)
+    # deletion-run exit: nl[k] = max{k' <= k : mvp[k'] != LEFT}
+    base = jnp.where(mvp != 2, kcol, -1)
+    s = 1
+    while s < W:
+        r = pltpu.roll(base, s, 0)
+        base = jnp.maximum(base, jnp.where(kcol < s, -1, r))
+        s *= 2
+    onehot = (kcol == kvec)
+    k_exit = jnp.sum(jnp.where(onehot, base, 0), axis=0, keepdims=True)
+    any_hit = jnp.any(onehot, axis=0, keepdims=True)  # kvec in [0, W)
+    mv_exit = jnp.sum(jnp.where(kcol == k_exit, mvp, 0), axis=0,
+                      keepdims=True)
+    nleft = kvec - k_exit
+    bad = (~any_hit) | (k_exit < 0) | (mv_exit >= 3) | (nleft > 63)
+    esc = esc | (active & bad.astype(jnp.int32))
+    act2 = active * (1 - esc)
+    op = jnp.where(mv_exit == 1, REC_UP, REC_DIAG)
+    rec = jnp.where(act2 != 0, op | (nleft << 2), 0)
+    kvec = jnp.where(act2 != 0, k_exit + (mv_exit == 1), kvec)
+    return rec, kvec, esc
+
+
+def _walk_rows_kernel(m_ref, n_ref, moves_ref, rec_ref, fin_ref, kscr,
+                      escscr, *, m_cap, n_cap, w_band):
+    """Grid (B//B_LANE, slots); slot planes stream top-down (index map
+    reverses s). rec_ref is the whole (m_cap//4, B_LANE) int32 word block
+    (resident across s — its block index only changes with b); fin_ref
+    holds [final deletions, escape] in rows 0-1."""
+    W = w_band
+    BT = m_ref.shape[1]
+    dlo = band_dlo(m_cap, n_cap, W)
+    n_slots = m_cap // _PACK
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (W, BT), 0)
+    s = pl.program_id(1)
+    slot = n_slots - 1 - s
+
+    @pl.when(s == 0)
+    def _():
+        kscr[...] = n_ref[...] - m_ref[...] - dlo
+        escscr[...] = jnp.zeros_like(escscr)
+
+    kvec = kscr[...]
+    esc = escscr[...]
+    m = m_ref[...]
+    mvword = moves_ref[0]  # (W, BT) packed move words for this slot
+    words = []
+    for u in range(_PACK - 1, -1, -1):
+        i = slot * _PACK + u + 1
+        mvplane = (mvword >> (2 * u)) & 3
+        active = (i <= m).astype(jnp.int32) * (1 - esc)
+        rec, kvec, esc = _walk_rows_row(mvplane, kvec, esc, active, i, dlo,
+                                        W, kcol)
+        words.append(rec)
+    # words[x] is row u = 15-x; byte order within an int32 must follow
+    # ascending row (little-endian view on host): word w holds rows
+    # 4w..4w+3 in bytes 0..3
+    packs = []
+    for wi in range(_PACK // 4 - 1, -1, -1):  # assemble words 3,2,1,0
+        b0 = words[15 - (4 * wi + 0)]
+        b1 = words[15 - (4 * wi + 1)]
+        b2 = words[15 - (4 * wi + 2)]
+        b3 = words[15 - (4 * wi + 3)]
+        packs.append(b0 | (b1 << 8) | (b2 << 16) | (b3 << 24))
+    packs.reverse()  # now ascending word index within the slot
+    block = jnp.concatenate(packs, axis=0)  # (4, BT)
+    rec_ref[pl.ds(slot * (_PACK // 4), _PACK // 4), :] = block
+
+    kscr[...] = kvec
+    escscr[...] = esc
+
+    @pl.when(s == n_slots - 1)
+    def _():
+        jfin = dlo + kvec
+        esc2 = esc | ((jfin < 0) | (jfin > 255)).astype(jnp.int32)
+        fin_ref[pl.ds(0, 1), :] = jnp.clip(jfin, 0, 255)
+        fin_ref[pl.ds(1, 1), :] = esc2
+
+
+def walk_rows_t(moves, m, n, *, m_cap, n_cap, w_band, interpret=False):
+    """moves (slots, W, B) int32 transposed move planes (nw_band_batch_t8
+    layout). Returns (payload (B, m_cap + 2) uint8, escaped (B,) bool):
+    payload[:, r] is the record for query row r+1, payload[:, m_cap] the
+    final-deletions count, payload[:, m_cap+1] the escape flag."""
+    B = moves.shape[2]
+    assert B % B_LANE == 0 and m_cap % _PACK == 0
+    n_slots = m_cap // _PACK
+    W = w_band
+    m2 = m.reshape(1, B).astype(jnp.int32)
+    n2 = n.reshape(1, B).astype(jnp.int32)
+    kernel = functools.partial(_walk_rows_kernel, m_cap=m_cap, n_cap=n_cap,
+                               w_band=W)
+    rec32, fin = pl.pallas_call(
+        kernel,
+        grid=(B // B_LANE, n_slots),
+        out_shape=(
+            jax.ShapeDtypeStruct((m_cap // 4, B), jnp.int32),
+            jax.ShapeDtypeStruct((8, B), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec((1, B_LANE), lambda b, s: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B_LANE), lambda b, s: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, B_LANE),
+                         lambda b, s, n_slots=n_slots: (n_slots - 1 - s, 0,
+                                                        b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((m_cap // 4, B_LANE), lambda b, s: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, B_LANE), lambda b, s: (0, b),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, B_LANE), jnp.int32),
+            pltpu.VMEM((1, B_LANE), jnp.int32),
+        ],
+        interpret=interpret,
+    )(m2, n2, moves)
+    rec8 = jax.lax.bitcast_convert_type(rec32.T, jnp.uint8).reshape(B, m_cap)
+    fin8 = jnp.clip(fin[:2].T, 0, 255).astype(jnp.uint8)
+    payload = jnp.concatenate([rec8, fin8], axis=1)
+    return payload, fin[1].astype(bool)
+
+
+@functools.partial(jax.jit, static_argnames=("m_cap", "n_cap", "w_band"))
+def walk_rows_ref(moves, m, n, *, m_cap, n_cap, w_band):
+    """Pure-jnp twin of walk_rows_t (identical payload bytes): lax.scan
+    over query rows on whole (W, B) planes. Used by tests and by CPU mesh
+    shards (where interpret-mode pallas does not execute under SPMD)."""
+    B = moves.shape[2]
+    W = w_band
+    dlo = band_dlo(m_cap, n_cap, W)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (W, B), 0)
+    m2 = m.reshape(1, B).astype(jnp.int32)
+    n2 = n.reshape(1, B).astype(jnp.int32)
+
+    def row(carry, i):
+        kvec, esc = carry
+        slot = (i - 1) // _PACK
+        u = (i - 1) % _PACK
+        mvword = jax.lax.dynamic_slice(moves, (slot, 0, 0), (1, W, B))[0]
+        mvplane = (mvword >> (2 * u)) & 3
+        active = (i <= m2).astype(jnp.int32) * (1 - esc)
+        rec, kvec, esc = _walk_rows_row(mvplane, kvec, esc, active, i, dlo,
+                                        W, kcol)
+        return (kvec, esc), rec[0]
+
+    init = (n2 - m2 - dlo, jnp.zeros((1, B), jnp.int32))
+    (kvec, esc), recs = jax.lax.scan(row, init,
+                                     jnp.arange(m_cap, 0, -1,
+                                                dtype=jnp.int32))
+    recs = recs[::-1]  # scan ran rows m_cap..1; payload wants ascending
+    jfin = dlo + kvec
+    esc = esc | ((jfin < 0) | (jfin > 255)).astype(jnp.int32)
+    payload = jnp.concatenate(
+        [recs.T.astype(jnp.uint8),
+         jnp.clip(jfin, 0, 255).T.astype(jnp.uint8),
+         esc.T.astype(jnp.uint8)], axis=1)
+    return payload, esc[0].astype(bool)
+
+
+def align_walk_packed_core_rows_t(q4, t4, dcb, m, n, *, m_cap, n_cap, w_band,
+                                  match, mismatch, gap, big=False):
+    """align_walk_packed_core with the row-synchronous walk: payload is
+    (B, m_cap + 2) uint8 (rows_payload_width) — per-row records + the
+    final-deletions byte + the escape flag. The sweep is the t8 (or, with
+    big=True, the pre-windowed big-tier) kernel; the walk never gathers."""
+    W = w_band
+    qT, tpT, dcpT = _prep_panels_t8(q4, t4, dcb, m_cap=m_cap, n_cap=n_cap,
+                                    w_band=W, gap=gap)
+    sweep = nw_band_batch_t8big if big else nw_band_batch_t8
+    moves, score = sweep(qT, tpT, dcpT, m_cap=m_cap, n_cap=n_cap, w_band=W,
+                         match=match, mismatch=mismatch, gap=gap)
+    payload, _ = walk_rows_t(moves, m, n, m_cap=m_cap, n_cap=n_cap,
+                             w_band=W)
+    return payload, score.T
+
+
+@functools.partial(jax.jit, static_argnames=("m_cap", "n_cap", "w_band",
+                                             "match", "mismatch", "gap"))
+def align_walk_rows_batch(q4, t4, dcb, m, n, *, m_cap, n_cap, w_band, match,
+                          mismatch, gap):
+    return align_walk_packed_core_rows_t(
+        q4, t4, dcb, m, n, m_cap=m_cap, n_cap=n_cap, w_band=w_band,
+        match=match, mismatch=mismatch, gap=gap,
+        big=not t_kernel_fits(m_cap, n_cap, w_band))
+
+
+def align_walk_gather_core_rows_t(qblob4, tblob4, dcbits, meta, *, m_cap,
+                                  n_cap, w_band, match, mismatch, gap):
+    """Device-resident gather variant of the rows-walk core (see
+    align_walk_gather_core_t for the panel build)."""
+    qs, m, ts, n = meta[:, 0], meta[:, 1], meta[:, 2], meta[:, 3]
+    W = w_band
+    qT = _gather_nib_cols(qblob4, qs, m, m_cap, 0, PAD_CODE).astype(jnp.int32)
+    tpT = _gather_nib_cols(tblob4, ts, n, n_cap + 2 * W, -W,
+                           PAD_CODE).astype(jnp.int32)
+    dcT = _gather_bit_cols(dcbits, ts, n, n_cap, 1) * gap
+    dcpT = jnp.pad(dcT, ((W, W), (0, 0)))
+    moves, score = nw_band_batch_t8(qT, tpT, dcpT, m_cap=m_cap, n_cap=n_cap,
+                                    w_band=W, match=match, mismatch=mismatch,
+                                    gap=gap)
+    payload, _ = walk_rows_t(moves, m, n, m_cap=m_cap, n_cap=n_cap,
+                             w_band=W)
+    return payload, score.T
+
+
+def walk_fmt(m_cap: int, n_cap: int, w_band: int, interpret: bool,
+             bp: int) -> str:
+    """Central walk/payload format policy for a padded dispatch:
+      "rows"    — row-synchronous walk (one record byte per query row; no
+                  per-step gathers). The default on real chips wherever a
+                  transposed sweep runs: its device time is bounded by
+                  m_cap * O(scan W) vector work instead of path-length
+                  gather iterations.
+      "rle"     — per-step RLE event walk (gather per iteration, compact
+                  payload). Used for the big overlap tiers where the rows
+                  walk's every-row sweep would dominate, or when
+                  RACON_TPU_WALK=rle.
+      "packed2" — 2-bit step stream (lane-major kernel / interpret mode).
+    """
+    import os
+
+    if interpret or bp % B_LANE != 0:
+        return "packed2"
+    small = t_kernel_fits(m_cap, n_cap, w_band)
+    big = t_big_fits(m_cap, n_cap, w_band)
+    if not (small or big):
+        return "packed2"
+    forced = os.environ.get("RACON_TPU_WALK", "auto")
+    if forced in ("rows", "rle"):
+        return forced
+    # auto: rows for the consensus-scale tiers (every query row is real
+    # work); rle for the long overlap tiers (path events << m_cap rows
+    # only when drift is low, but m_cap is huge there)
+    return "rows" if m_cap <= 2560 else "rle"

@@ -31,9 +31,11 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 from ..ops.nw_kernel import (align_walk_gather_core, align_walk_gather_core_t,
+                             align_walk_gather_core_rows_t,
                              align_walk_packed_core, align_walk_packed_core_t,
                              align_walk_packed_core_rle_t,
-                             align_walk_packed_core_rle_tbig, nw_band_batch,
+                             align_walk_packed_core_rle_tbig,
+                             align_walk_packed_core_rows_t, nw_band_batch,
                              nw_band_batch_ref, t_big_fits, t_kernel_fits,
                              walk_moves_device, B_LANE)
 
@@ -116,7 +118,7 @@ _sharded_cache: dict = {}
 
 def sharded_align_walk(mesh: Mesh, q4, t4, dcb, m, n, *, m_cap, n_cap,
                        w_band, match, mismatch, gap, interpret=False,
-                       rle=False):
+                       fmt="packed2"):
     """The production fused align+walk dispatch with the batch dimension
     sharded over the mesh — each chip unpacks + runs the single-chip Pallas
     kernel on its shard; no cross-chip communication (pure window/overlap
@@ -125,7 +127,7 @@ def sharded_align_walk(mesh: Mesh, q4, t4, dcb, m, n, *, m_cap, n_cap,
     (nw_kernel.pack_codes4 / pack_delbits); the batch must be a multiple of
     the mesh size (align_walk_padded arranges both)."""
     key = (tuple(mesh.devices.flat), m_cap, n_cap, w_band, match, mismatch,
-           gap, interpret, rle)
+           gap, interpret, fmt)
     fn = _sharded_cache.get(key)
     if fn is None:
         impl = _nw_impl(interpret)
@@ -136,7 +138,14 @@ def sharded_align_walk(mesh: Mesh, q4, t4, dcb, m, n, *, m_cap, n_cap,
                         and q4s.shape[0] % B_LANE == 0)
             big = (not interpret and t_big_fits(m_cap, n_cap, w_band)
                    and q4s.shape[0] % B_LANE == 0)
-            if rle:
+            if fmt == "rows":
+                assert eligible or big, ("rows payloads need a transposed "
+                                         "kernel")
+                return align_walk_packed_core_rows_t(
+                    q4s, t4s, dcbs, ms, ns, m_cap=m_cap, n_cap=n_cap,
+                    w_band=w_band, match=match, mismatch=mismatch, gap=gap,
+                    big=not eligible)
+            if fmt == "rle":
                 assert eligible or big, ("rle payloads need a transposed "
                                          "kernel")
                 core = (align_walk_packed_core_rle_t if eligible
@@ -167,19 +176,23 @@ _sharded_gather_cache: dict = {}
 
 def sharded_align_walk_gather(mesh: Mesh, qblob4, tblob4, dcbits, meta, *,
                               m_cap, n_cap, w_band, match, mismatch, gap,
-                              interpret=False):
+                              interpret=False, fmt="packed2"):
     """Device-resident gather variant of sharded_align_walk: the flat code
     blobs are REPLICATED over the mesh (uploaded once per pass via
     nw_kernel.device_put_blob) and only the (B, 4) per-item metadata is
     sharded; each chip gathers its own row matrices locally — still no
     cross-chip communication in the hot loop."""
     key = (tuple(mesh.devices.flat), m_cap, n_cap, w_band, match, mismatch,
-           gap, interpret)
+           gap, interpret, fmt)
     fn = _sharded_gather_cache.get(key)
     if fn is None:
         impl = _nw_impl(interpret)
 
         def local(qb, tb, db, metas):
+            if fmt == "rows":
+                return align_walk_gather_core_rows_t(
+                    qb, tb, db, metas, m_cap=m_cap, n_cap=n_cap,
+                    w_band=w_band, match=match, mismatch=mismatch, gap=gap)
             if not interpret and t_kernel_fits(m_cap, n_cap, w_band):
                 # real chips run the transposed (sublane-band) kernel
                 return align_walk_gather_core_t(
