@@ -93,9 +93,28 @@ def sharded_nw_band_batch(mesh: Mesh, q, t, gc, *, m_cap, n_cap, w_band,
 _active_mesh_cache: list = []
 
 
+def set_active_mesh(mesh: "Mesh | None") -> None:
+    """Explicitly pin (or clear, with None+clear()) the stage-dispatch mesh
+    for this process — the supported override for harnesses that build
+    their own mesh (e.g. __graft_entry__.dryrun_multichip) instead of
+    reaching into the cache."""
+    _active_mesh_cache.clear()
+    _active_mesh_cache.append(mesh)
+
+
+def clear_active_mesh() -> None:
+    """Drop the pinned/derived mesh so the next active_mesh() re-derives
+    it from the current device topology."""
+    _active_mesh_cache.clear()
+
+
 def active_mesh() -> Mesh | None:
-    """Mesh over all visible devices when more than one is present (the
+    """Mesh over this process's devices when more than one is present (the
     production stages shard their batches over it); None single-device.
+    Under multi-host (jax.distributed) the mesh spans LOCAL devices only:
+    work is already sharded per process by parallel/dist.py, and each
+    process dispatches its own shard onto its own chips (the v5e-pod
+    topology of SURVEY.md §5.8 — dist over DCN x local mesh over ICI).
     RACON_TPU_MESH=0 disables."""
     import os
 
@@ -104,7 +123,8 @@ def active_mesh() -> Mesh | None:
     mesh = None
     if os.environ.get("RACON_TPU_MESH", "1") != "0":
         try:
-            devices = jax.devices()
+            devices = (jax.local_devices() if jax.process_count() > 1
+                       else jax.devices())
             if len(devices) > 1:
                 mesh = window_mesh(devices)
         except Exception:

@@ -239,22 +239,23 @@ class Polisher:
         stage = get_consensus_stage(cfg)
         if dist.is_active():
             # multi-host: each process polishes a contiguous window shard;
-            # consensus bytes are gathered to every process (cheap vs the
-            # compute) and process 0 stitches + prints (SURVEY.md §5.8)
+            # consensus bytes ride point-to-point to process 0 only (the
+            # sole stitcher — gather_ragged_to0 costs ~1/N the DCN bytes
+            # of the old every-process allgather) and process 0 stitches
+            # + prints (SURVEY.md §5.8)
             lo, hi = dist.shard_range(self.windows.num_windows)
             local_c, local_p = stage.consensus_windows(
                 self.windows.shard(lo, hi), cfg, self.logger)
-            parts = dist.allgather_ragged(
+            parts = dist.gather_ragged_to0(
                 [np.frombuffer(c, np.uint8) for c in local_c], np.uint8)
-            flags = np.concatenate(dist.allgather_blob(
-                np.asarray(local_p, np.uint8)))
-            consensus = [p.tobytes() for p in parts]
-            polished = [bool(f) for f in flags]
-            assert len(consensus) == self.windows.num_windows
+            flags = dist.gather_blob_to0(np.asarray(local_p, np.uint8))
             if dist.process_index() != 0:
                 self.logger.log("[racon::Polisher::polish] generated "
                                 "consensus")
                 return []
+            consensus = [p.tobytes() for p in parts]
+            polished = [bool(f) for f in np.concatenate(flags)]
+            assert len(consensus) == self.windows.num_windows
         else:
             consensus, polished = stage.consensus_windows(
                 self.windows, cfg, self.logger)

@@ -28,6 +28,7 @@ pid = int(sys.argv[1])
 port = sys.argv[2]
 out_path = sys.argv[3]
 data_dir = sys.argv[4]
+backend = sys.argv[5] if len(sys.argv) > 5 else "native"
 
 jax.distributed.initialize(coordinator_address=f"localhost:{port}",
                            num_processes=2, process_id=pid)
@@ -35,7 +36,17 @@ jax.distributed.initialize(coordinator_address=f"localhost:{port}",
 from racon_tpu.models.polish_model import PolisherConfig, PolisherType
 from racon_tpu.polisher import create_polisher
 
-cfg = PolisherConfig(backend="native", num_threads=1, match=5, mismatch=-4,
+if backend == "tpu":
+    # the dist x mesh composition (VERDICT r2 item 4): this process must
+    # shard its device dispatches over its own LOCAL multi-device mesh
+    # while window shards ride parallel/dist.py
+    from racon_tpu.parallel.mesh import active_mesh
+
+    mesh = active_mesh()
+    assert mesh is not None and mesh.devices.size == len(
+        jax.local_devices()) and mesh.devices.size > 1, mesh
+
+cfg = PolisherConfig(backend=backend, num_threads=1, match=5, mismatch=-4,
                      gap=-8, refine_passes=2)
 p = create_polisher(f"{data_dir}/reads.fasta", f"{data_dir}/ovl.paf",
                     f"{data_dir}/draft.fasta", cfg)
@@ -124,6 +135,52 @@ def test_two_process_polish_matches_single(tmp_path):
     from racon_tpu.polisher import create_polisher
 
     cfg = PolisherConfig(backend="native", num_threads=1, match=5,
+                         mismatch=-4, gap=-8, refine_passes=2)
+    p1 = create_polisher(str(tmp_path / "reads.fasta"),
+                         str(tmp_path / "ovl.paf"),
+                         str(tmp_path / "draft.fasta"), cfg)
+    p1.initialize()
+    single = p1.polish(drop_unpolished_sequences=True)
+    expect = b"".join(b">" + n + b"\n" + d + b"\n" for n, d in single)
+    assert out2.read_bytes() == expect
+
+
+def test_dist_times_mesh_polish_matches_single(tmp_path):
+    """The production pod topology (VERDICT r2 item 4): 2 jax.distributed
+    processes, EACH sharding its consensus dispatches over its own
+    4-device local mesh (dist over DCN x mesh over ICI), must produce
+    output byte-identical to a single-process run of the same device
+    backend."""
+    _make_dataset(tmp_path)
+    worker = tmp_path / "worker.py"
+    worker.write_text(WORKER)
+    port = _free_port()
+    out2 = tmp_path / "out_dm.fasta"
+    env = _clean_env()
+    env["JAX_NUM_CPU_DEVICES"] = "4"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), str(port), str(out2),
+             str(tmp_path), "tpu"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            cwd="/root/repo")
+        for pid in range(2)
+    ]
+    for p in procs:
+        try:
+            _, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("dist x mesh worker timed out")
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    # single-process reference run, same (interpret) device backend on the
+    # test session's own 8-device mesh — mesh size must not affect bytes
+    from racon_tpu.models.polish_model import PolisherConfig
+    from racon_tpu.polisher import create_polisher
+
+    cfg = PolisherConfig(backend="tpu", num_threads=1, match=5,
                          mismatch=-4, gap=-8, refine_passes=2)
     p1 = create_polisher(str(tmp_path / "reads.fasta"),
                          str(tmp_path / "ovl.paf"),
