@@ -178,16 +178,25 @@ def bench_kernel_cells():
     kw = dict(m_cap=cap, n_cap=cap, w_band=band, match=5, mismatch=-4,
               gap=-8)
 
-    def steady(fn, K=10, reps=3):
+    def steady(fn, K1=4, K2=24, reps=3):
+        """Per-dispatch device time via the two-batch-size slope: the
+        tunnel adds a large, session-varying fixed latency per SYNC
+        (hundreds of ms some sessions), so T(K) = sync + K*c and
+        c = (T(K2) - T(K1)) / (K2 - K1) cancels it exactly."""
         outs = [fn() for _ in range(2)]
         jax.block_until_ready(outs)
-        times = []
-        for _ in range(reps):
-            t0 = time.monotonic()
-            outs = [fn() for _ in range(K)]
-            jax.block_until_ready(outs)
-            times.append((time.monotonic() - t0) / K)
-        return statistics.median(times)
+
+        def total(K):
+            times = []
+            for _ in range(reps):
+                t0 = time.monotonic()
+                outs = [fn() for _ in range(K)]
+                jax.block_until_ready(outs)
+                times.append(time.monotonic() - t0)
+            return statistics.median(times)
+
+        t1, t2 = total(K1), total(K2)
+        return max((t2 - t1) / (K2 - K1), 1e-9)
 
     @jax.jit
     def sweep(q4, t4, dcb):
@@ -215,11 +224,15 @@ def bench_kernel_cells():
                      "not device throughput")}
 
 
-def bench_align_stage(cfg):
-    """Overlap-alignment stage on REAL data (the 181 sample PAF overlaps,
-    /root/reference/test/data): overlaps/s through the device tier ladder
-    vs the native host aligner (the reference edlib role)."""
+def bench_align_stage(cfg, overlaps="sample_overlaps.paf.gz",
+                      targets="sample_layout.fasta.gz", ptype=None):
+    """Overlap-alignment stage on REAL data (/root/reference/test/data):
+    overlaps/s through the device tier ladder vs the native host aligner
+    (the reference edlib role). Default: the 181 read->contig sample PAF;
+    main() also runs the 8,016-overlap all-vs-all PAF (ava mode, VERDICT
+    r2 item 2's scale)."""
     import contextlib
+    import dataclasses
     import io
     import os
 
@@ -229,9 +242,12 @@ def bench_align_stage(cfg):
     d = "/root/reference/test/data"
     if not os.path.isdir(d):
         return None
+    if ptype is not None:
+        cfg = dataclasses.replace(cfg, type=ptype, match=1, mismatch=-1,
+                                  gap=-1)
     p = create_polisher(os.path.join(d, "sample_reads.fastq.gz"),
-                        os.path.join(d, "sample_overlaps.paf.gz"),
-                        os.path.join(d, "sample_layout.fasta.gz"), cfg)
+                        os.path.join(d, overlaps),
+                        os.path.join(d, targets), cfg)
     # run initialize() but intercept the align stage to time both backends
     from racon_tpu.native.align_stage import NativeAlignStage
     from racon_tpu.ops.align_stage_tpu import TpuAlignStage
@@ -367,11 +383,19 @@ def main():
         except Exception as e:  # pragma: no cover - must not kill bench
             ledger["kernel_640x128"] = {"error": str(e)}
 
-    # overlap-alignment stage on real data (the OTHER hot loop)
+    # overlap-alignment stage on real data (the OTHER hot loop): the 181
+    # read->contig overlaps AND the 8,016 all-vs-all overlaps (ava scale)
     try:
         ledger["align_stage_sample_paf"] = bench_align_stage(cfg)
     except Exception as e:  # pragma: no cover
         ledger["align_stage_sample_paf"] = {"error": str(e)}
+    try:
+        from racon_tpu.models.polish_model import PolisherType
+        ledger["align_stage_ava_paf"] = bench_align_stage(
+            cfg, overlaps="sample_ava_overlaps.paf.gz",
+            targets="sample_reads.fastq.gz", ptype=PolisherType.kF)
+    except Exception as e:  # pragma: no cover
+        ledger["align_stage_ava_paf"] = {"error": str(e)}
 
     # sanity: consensus quality comparable between paths
     from racon_tpu.native import bindings

@@ -559,13 +559,16 @@ void rt_opstream_rle_to_ops_batch(const uint8_t* codes, int64_t n_items,
     });
 }
 
-// rows-walk decoder: codes row i is [rec bytes for query rows 1..m_cap,
-// final-deletions byte] (width = budget = m_cap + 1). rec byte: bits 0-1
-// 0 = inactive row / 1 = diagonal / 2 = up(insertion), bits 2-7 = deletion
-// (LEFT) steps taken in the row before the transition. Forward op order:
-// final deletions first, then per ascending row: transition op, then the
-// row's deletions (the backward emission reversed). Same merged (op, len)
-// output as the other decoders.
+// rows-walk decoder: codes row i is the FULL rows payload [rec bytes for
+// query rows 1..m_cap, final-deletions byte, escape byte] (width = budget
+// = m_cap + 2; passing the whole payload avoids a host-side slice copy).
+// rec byte: bits 0-1 0 = inactive row / 1 = diagonal / 2 = up(insertion),
+// bits 2-7 = deletion (LEFT) steps taken in the row before the
+// transition. Forward op order: final deletions first, then per ascending
+// row: transition op, then the row's deletions (the backward emission
+// reversed). Same merged (op, len) output as the other decoders. At ONT
+// error rates ~90% of records are plain diagonals (byte 0x01), so the
+// scan hops 8-byte all-0x01 words in one compare.
 void rt_opstream_rows_to_ops_batch(const uint8_t* codes, int64_t n_items,
                                    int64_t budget, int32_t n_threads,
                                    int32_t* out_ops,
@@ -590,10 +593,25 @@ void rt_opstream_rows_to_ops_batch(const uint8_t* codes, int64_t n_items,
                 prev = op;
             }
         };
-        emit(2, s[budget - 1]);  // final (row 0) deletions
-        for (int64_t r = 0; r < budget - 1; ++r) {
+        const int64_t nrec = budget - 2;
+        emit(2, s[nrec]);  // final (row 0) deletions
+        int64_t r = 0;
+        while (r < nrec) {
+            // run-segmented scan: consume the whole plain-diagonal run
+            // (word hops + byte tail) with ONE emit, then one indel record
+            const int64_t d0 = r;
+            while (r + 8 <= nrec) {
+                uint64_t w;
+                std::memcpy(&w, s + r, 8);
+                if (w != 0x0101010101010101ull) break;
+                r += 8;
+            }
+            while (r < nrec && s[r] == 0x01) ++r;
+            emit(0, static_cast<int32_t>(r - d0));
+            if (r >= nrec) break;
             const uint8_t v = s[r];
             if (!(v & 3)) break;  // first inactive row: rows r+1.. unused
+            ++r;
             emit((v & 3) == 1 ? 0 : 1, 1);
             emit(2, v >> 2);
         }

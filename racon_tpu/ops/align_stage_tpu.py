@@ -158,18 +158,19 @@ class TpuAlignStage:
             sel, cap, band, fmt, payload, hbm = pending.popleft()
             inflight[0] -= hbm
             payload = np.asarray(payload)[: len(sel)]
-            codes = np.ascontiguousarray(payload[:, :-1])
             escaped = payload[:, -1] != 0
             if fmt == "rows":
                 ops_flat, ops_off, counts = \
                     bindings.opstream_rows_to_ops_batch(
-                        codes, cap + 1, mlen[sel], nlen[sel], thr)
+                        payload, cap + 2, mlen[sel], nlen[sel], thr)
             elif fmt == "rle":
+                codes = np.ascontiguousarray(payload[:, :-1])
                 ops_flat, ops_off, counts = \
                     bindings.opstream_rle_to_ops_batch(
                         codes, rle_events(cap, cap, band), mlen[sel],
                         nlen[sel], thr)
             else:
+                codes = np.ascontiguousarray(payload[:, :-1])
                 ops_flat, ops_off, counts = \
                     bindings.opstream_packed_to_ops_batch(
                         codes, walk_steps(cap, cap, band), mlen[sel],

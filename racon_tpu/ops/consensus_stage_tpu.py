@@ -460,15 +460,17 @@ class TpuConsensusStage:
             tf = time.perf_counter()
             payload = np.asarray(payload)[: len(sel)]
             fetch_s += time.perf_counter() - tf
-            codes = np.ascontiguousarray(payload[:, :-1])
             escaped = payload[:, -1] != 0
             if fmt == "rows":
-                budget = cap + 1
+                codes = payload  # decoder reads the full payload row
+                budget = cap + 2
                 decode = bindings.opstream_rows_to_ops_batch
             elif fmt == "rle":
+                codes = np.ascontiguousarray(payload[:, :-1])
                 budget = rle_events(cap, cap, w_band)
                 decode = bindings.opstream_rle_to_ops_batch
             else:
+                codes = np.ascontiguousarray(payload[:, :-1])
                 budget = walk_steps(cap, cap, w_band)
                 decode = bindings.opstream_packed_to_ops_batch
             _, _, counts = decode(codes, budget, mlen[sel], nlen[sel], thr,

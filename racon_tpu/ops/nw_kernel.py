@@ -1850,7 +1850,10 @@ def walk_fmt(m_cap: int, n_cap: int, w_band: int, interpret: bool,
     forced = os.environ.get("RACON_TPU_WALK", "auto")
     if forced in ("rows", "rle"):
         return forced
-    # auto: rows for the consensus-scale tiers (every query row is real
-    # work); rle for the long overlap tiers (path events << m_cap rows
-    # only when drift is low, but m_cap is huge there)
-    return "rows" if m_cap <= 2560 else "rle"
+    # auto: rle. The rows walk wins on pure device time (3.4 vs 4.6 ms
+    # steady at 640/128, BENCH_LEDGER kernel split) but its payload is 4x
+    # the D2H bytes and ~3x the host decode work — on this 2-core tunneled
+    # host the stage-level A/B (benchmarks/profile_walk_ab.py: 786 vs
+    # 330 w/s) says rle, decisively. On a many-core PCIe-attached TPU VM
+    # the tradeoff reverses; RACON_TPU_WALK=rows selects it there.
+    return "rle"

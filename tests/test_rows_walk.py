@@ -71,7 +71,7 @@ def _decode_both(moves, m, n):
                                   m_cap=M_CAP, n_cap=N_CAP, w_band=W)
     payload = np.asarray(payload)
     ops2, off2, cnt2 = bindings.opstream_rows_to_ops_batch(
-        payload[:, :-1], M_CAP + 1, m, n, 2)
+        payload, M_CAP + 2, m, n, 2)
     return (ops1, off1, cnt1, np.asarray(esc1)), (ops2, off2, cnt2,
                                                   np.asarray(esc2))
 
