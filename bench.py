@@ -204,24 +204,111 @@ def bench_kernel_cells():
                                         w_band=band, gap=-8)
         return nw_band_batch_t8(qT, tpT, dcpT, **kw)
 
+    # PREFERRED measurement: one jax.profiler trace over R dispatches of
+    # each variant — the trace's device-timeline durations are the actual
+    # kernel times, immune to the tunnel's per-sync latency (which made
+    # both r2's single-shot medians AND same-session slope measurements
+    # inconsistent: BENCH r3 interim runs recorded prep+sweep "slower"
+    # than the fused dispatch). Falls back to the slope numbers if the
+    # plugin can't trace.
+    prof = None
+    try:
+        prof = _trace_device_ms(
+            {"rle": lambda: align_walk_rle_batch(q4, t4, dcb, m, n, **kw),
+             "rows": lambda: align_walk_rows_batch(q4, t4, dcb, m, n,
+                                                   **kw),
+             "sweep": lambda: sweep(q4, t4, dcb)}, reps=4)
+    except Exception:
+        prof = None
+
+    cells = B * cap * band
+    sol = 3.85e12 / 18.0
+    out = {"batch": B, "cap": cap, "band": band,
+           "sol_cells_per_s_est": round(sol, 0),
+           "note": ("device times from the jax profiler trace (tunnel "
+                    "sync latency excluded); r2's single-shot 4.2e9 "
+                    "cells/s measured tunnel latency, not device "
+                    "throughput")}
+    if prof and prof.get("rle"):
+        dt = prof["rle"]["total_s"]
+        out["seconds_per_dispatch_device"] = round(dt, 5)
+        out["split"] = {
+            "sweep_s": round(prof.get("sweep", {}).get("total_s", 0.0), 5),
+            "fused_rle_s": round(prof["rle"]["total_s"], 5),
+            "fused_rle_walk_while_s": round(prof["rle"]["while_s"], 5),
+            "fused_rows_s": round(prof.get("rows", {}).get("total_s",
+                                                           0.0), 5),
+        }
+        out["dp_cells_per_s"] = round(cells / dt, 0)
+        out["pct_of_sol"] = round(100.0 * cells / dt / sol, 2)
+        return out
+    # fallback: two-batch-size slope (cancels a CONSTANT sync latency;
+    # unstable when the tunnel drifts mid-measurement)
     t_sweep = steady(lambda: sweep(q4, t4, dcb))
     t_rows = steady(
         lambda: align_walk_rows_batch(q4, t4, dcb, m, n, **kw))
     t_rle = steady(lambda: align_walk_rle_batch(q4, t4, dcb, m, n, **kw))
-    dt = min(t_rows, t_rle)  # the production fmt (walk_fmt picks rows)
-    cells = B * cap * band
-    sol = 3.85e12 / 18.0
-    return {"batch": B, "cap": cap, "band": band,
-            "seconds_per_dispatch_steady": round(dt, 5),
-            "split": {"prep_plus_sweep_s": round(t_sweep, 5),
-                      "fused_rows_walk_s": round(t_rows, 5),
-                      "fused_rle_walk_s": round(t_rle, 5)},
-            "dp_cells_per_s": round(cells / dt, 0),
-            "sol_cells_per_s_est": round(sol, 0),
-            "pct_of_sol": round(100.0 * cells / dt / sol, 2),
-            "note": ("steady-state over 10 pipelined dispatches; r2's "
-                     "single-shot 4.2e9 cells/s measured tunnel latency, "
-                     "not device throughput")}
+    dt = min(t_rows, t_rle)
+    out["seconds_per_dispatch_steady"] = round(dt, 5)
+    out["split"] = {"prep_plus_sweep_s": round(t_sweep, 5),
+                    "fused_rows_walk_s": round(t_rows, 5),
+                    "fused_rle_walk_s": round(t_rle, 5)}
+    out["dp_cells_per_s"] = round(cells / dt, 0)
+    out["pct_of_sol"] = round(100.0 * cells / dt / sol, 2)
+    return out
+
+
+def _trace_device_ms(fns: dict, reps=4):
+    """Run each named thunk `reps` times inside ONE jax.profiler trace and
+    return per-name device-timeline times: {"total_s": per-dispatch device
+    time of the jit event, "while_s": per-dispatch total of while-loop
+    events (the gather-walk's loop)}. Device-side durations come from the
+    trace's /device:TPU pid, so tunnel dispatch/sync latency is excluded."""
+    import glob
+    import gzip
+    import tempfile
+
+    import jax
+
+    for fn in fns.values():  # warm/compile outside the trace
+        jax.block_until_ready(fn())
+    with tempfile.TemporaryDirectory() as td:
+        jax.profiler.start_trace(td)
+        for fn in fns.values():
+            outs = [fn() for _ in range(reps)]
+            jax.block_until_ready(outs)
+        jax.profiler.stop_trace()
+        files = glob.glob(td + "/**/*.trace.json.gz", recursive=True)
+        if not files:
+            return None
+        evs = json.load(gzip.open(files[0])).get("traceEvents", [])
+    pids = {e["pid"]: e.get("args", {}).get("name", "") for e in evs
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    dev = {p for p, nm in pids.items()
+           if "TPU" in nm or "device" in nm.lower()}
+    # map jit event name -> thunk name (jit_<fn> or jit_<wrapped>)
+    tot: dict = {}
+    for e in evs:
+        if e.get("ph") == "X" and e.get("pid") in dev:
+            nm = e.get("name", "")
+            tot[nm] = tot.get(nm, 0.0) + float(e.get("dur", 0.0))
+    out = {}
+    for name in fns:
+        jit_ms = [v for k, v in tot.items()
+                  if k.startswith("jit_") and name in k]
+        if not jit_ms:
+            # the sweep thunk is a local jit named after its function
+            jit_ms = [v for k, v in tot.items() if k.startswith("jit_")
+                      and not any(o != name and o in k for o in fns)]
+        out[name] = {"total_s": (max(jit_ms) / reps / 1e6) if jit_ms
+                     else None,
+                     "while_s": 0.0}
+    # while-loop device time: attribute to the variant that has one (the
+    # rle gather walk); rows/sweep have none
+    wh = sum(v for k, v in tot.items() if k.startswith("while"))
+    if "rle" in out:
+        out["rle"]["while_s"] = wh / reps / 1e6
+    return out
 
 
 def bench_align_stage(cfg, overlaps="sample_overlaps.paf.gz",
