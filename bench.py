@@ -355,18 +355,27 @@ def bench_align_stage(cfg, overlaps="sample_overlaps.paf.gz",
             result["host_overlaps_per_s"] = round(len(indices) / host_dt, 1)
             dev = TpuAlignStage.try_create(cfg)
             if dev is not None:
-                t0 = time.monotonic()
-                dev.breaking_points(overlaps, indices, sequences,
-                                    window_length, sink)  # warm (compile)
-                result["device_cold_seconds"] = round(time.monotonic() - t0,
-                                                      3)
-                t0 = time.monotonic()
-                dev.breaking_points(overlaps, indices, sequences,
-                                    window_length, sink)
-                dev_dt = time.monotonic() - t0
+                # force the device path even below the auto-route
+                # threshold — this block MEASURES that threshold's inputs
+                os.environ["RACON_TPU_ALIGN_DEVICE_MIN"] = "0"
+                try:
+                    t0 = time.monotonic()
+                    dev.breaking_points(overlaps, indices, sequences,
+                                        window_length, sink)  # warm
+                    result["device_cold_seconds"] = round(
+                        time.monotonic() - t0, 3)
+                    t0 = time.monotonic()
+                    dev.breaking_points(overlaps, indices, sequences,
+                                        window_length, sink)
+                    dev_dt = time.monotonic() - t0
+                finally:
+                    os.environ.pop("RACON_TPU_ALIGN_DEVICE_MIN", None)
                 result["device_seconds"] = round(dev_dt, 3)
                 result["device_overlaps_per_s"] = round(
                     len(indices) / dev_dt, 1)
+                result["auto_route"] = (
+                    "host" if len(indices) < TpuAlignStage.DEVICE_MIN_OVERLAPS
+                    else "device")
         return host_bp
 
     NativeAlignStage.breaking_points = probe

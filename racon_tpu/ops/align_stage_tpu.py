@@ -57,9 +57,28 @@ class TpuAlignStage:
             return cls(cfg, interpret=True)
         return None
 
+    # below this many overlaps the device path's fixed costs (program
+    # load check, packing, dispatch+fetch latency) beat its throughput
+    # edge: BENCH_LEDGER r3 measured host 74.7 vs device 73.1 overlaps/s
+    # at N=181 but device 376 vs host 141 at N=7,780. Auto-route small
+    # batches to the native host aligner (the reference's own
+    # heterogeneous-fallback philosophy, src/cuda/cudapolisher.cpp:204).
+    DEVICE_MIN_OVERLAPS = 512
+
     def breaking_points(self, overlaps, indices, sequences, window_length,
                         logger) -> list[np.ndarray]:
         from ..native import bindings
+
+        import os
+
+        dev_min = int(os.environ.get("RACON_TPU_ALIGN_DEVICE_MIN",
+                                     self.DEVICE_MIN_OVERLAPS))
+        if len(indices) < dev_min and not self.interpret:
+            from ..native.align_stage import NativeAlignStage
+            from ..native import loader
+            if loader.available():
+                return NativeAlignStage(self.cfg).breaking_points(
+                    overlaps, indices, sequences, window_length, logger)
 
         # materialize the aligned slices (reference: src/overlap.cpp:192-197)
         # in flat columnar form: strand slices read the (prepared) revcomp

@@ -127,6 +127,35 @@ class TpuConsensusStage:
 
     # ------------------------------------------------------------------ #
 
+    def prewarm_for(self, window_length: int) -> None:
+        """Kick off AOT loads of the consensus tiers a w=window_length run
+        will almost certainly dispatch (the first tier whose cap fits the
+        window plus its refinement-expanded backbones, at the canonical
+        chunk size), so a one-shot CLI run overlaps the per-process
+        program ingest with initialize()'s alignment stage instead of
+        paying it at the first polish dispatch (VERDICT r2 item 3)."""
+        if self.interpret:
+            return
+        from ..parallel.mesh import active_mesh
+        from .nw_kernel import padded_batch, prewarm_tiers_async, walk_fmt
+
+        if active_mesh() is not None:
+            return  # the mesh path keys its own programs
+        gap = self.cfg.gap
+        want = []
+        for cap, wb in _TIERS:
+            if cap >= window_length + 8:
+                want.append((cap, wb))
+            if len(want) >= 2:  # the base tier + its wide-band sibling
+                break
+        specs = set()
+        for cap, wb in want:
+            step = _chunk_size(cap, wb)
+            bp = padded_batch(step, None, False, 1)
+            specs.add((cap, wb, bp, self.cfg.match, self.cfg.mismatch, gap,
+                       walk_fmt(cap, cap, wb, False, bp)))
+        prewarm_tiers_async(specs)
+
     def consensus_windows(self, windows, cfg, logger):
         from ..core.windows import WINDOW_TYPE_TGS
         from ..native import bindings

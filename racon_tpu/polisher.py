@@ -226,6 +226,17 @@ class Polisher:
             aligned = []
         for i, bp in zip(need_align, aligned):
             out[i] = bp
+        # overlap the consensus tiers' per-process program ingest with the
+        # rest of initialize (window building) — polish()'s first dispatch
+        # then finds its programs already loading/loaded
+        try:
+            from .backends import get_consensus_stage
+
+            cstage = get_consensus_stage(self.config)
+            if hasattr(cstage, "prewarm_for"):
+                cstage.prewarm_for(self.config.window_length)
+        except Exception:
+            pass
         self.logger.log("[racon::Polisher::initialize] aligned overlaps")
         return out
 
