@@ -675,15 +675,47 @@ def nw_band_batch_t(qT, tpT, gcpT, *, m_cap, n_cap, w_band, match, mismatch,
 # ---------------------------------------------------------------------- #
 
 
+def dp16_eligible(m_cap: int, n_cap: int, match: int, mismatch: int,
+                  gap: int) -> bool:
+    """Whether the t8 sweep may run its H arithmetic in int16 (2x VPU
+    width). Sound when every intermediate stays in [-32768, 32767]: with
+    neg = -((m_cap + n_cap) * cmax + 64), the most negative value formed
+    is diag_c = neg + neg (pad-vs-real at a neg cell), so the gate is
+    2 * ((m_cap + n_cap) * cmax + 64) within int16 range (plus the scan
+    fill constant -30000, which must stay strictly below every real
+    a = cand - gc value: cand >= 2*neg is already covered by the same
+    bound). RACON_TPU_DP16=0 disables."""
+    import os
+
+    # OPT-IN (default off): this image's Mosaic cannot legalize 16-bit
+    # vector compute at all (arith.maxsi on vector<8x128x2xi16> fails, and
+    # tpu.dynamic_rotate is 32-bit-only), so the int16 path only exists
+    # for interpret-mode validation and for future toolchains. The
+    # bit-identity contract is pinned by tests/test_dp16.py either way.
+    if os.environ.get("RACON_TPU_DP16", "0") != "1":
+        return False
+    cmax = max(abs(match), abs(mismatch), abs(gap))
+    return 2 * ((m_cap + n_cap) * cmax + 64) <= 30000
+
+
+def _dp_dtype(m_cap, n_cap, match, mismatch, gap):
+    if dp16_eligible(m_cap, n_cap, match, mismatch, gap):
+        cmax = max(abs(match), abs(mismatch), abs(gap))
+        return jnp.int16, -((m_cap + n_cap) * cmax + 64), -30000
+    return jnp.int32, NEG, 2 * NEG
+
+
 def _nw_band_kernel_t8(q_ref, tp_ref, dcp_ref, moves_ref, score_ref, hscr,
-                       gscr, *, m_cap, n_cap, w_band, match, mismatch, gap):
+                       gscr, *, m_cap, n_cap, w_band, match, mismatch, gap,
+                       dt=jnp.int32, neg=NEG, fill=2 * NEG):
     """q (m_cap, BT) int32 codes; tp (n_cap + 2W, BT) int32 codes with W PAD
     sublanes both sides; dcp (n_cap + 2W, BT) int32 per-column deletion
     costs with W ZERO sublanes both sides (zeros below n_cap freeze gc at
     gc[n_cap], matching the old kernel's edge-padded cumsum). Requires
     dlo <= 0 (equal caps or n_cap - m_cap <= W/2; wrappers guarantee it).
     gscr carries the gc register across row groups: gscr[k] = gc[i+dlo+k]
-    for the next row i."""
+    for the next row i. H arithmetic runs in `dt` (int16 when
+    dp16_eligible — bit-identical moves/score, 2x VPU width)."""
     W = w_band
     BT = q_ref.shape[1]
     dlo = band_dlo(m_cap, n_cap, W)
@@ -691,21 +723,26 @@ def _nw_band_kernel_t8(q_ref, tp_ref, dcp_ref, moves_ref, score_ref, hscr,
     n_groups = m_cap // _GROUP
     kcol = jax.lax.broadcasted_iota(jnp.int32, (W, BT), 0)
     g = pl.program_id(1)
+    negc = jnp.asarray(neg, dt)
+    fillc = jnp.asarray(fill, dt)
+    mt = jnp.asarray(match, dt)
+    xt = jnp.asarray(mismatch, dt)
+    gt = jnp.asarray(gap, dt)
 
     @pl.when(g == 0)
     def _():
         # L[k] = dc_col[dlo + k] (panel pads supply zeros out of range);
         # inclusive scan inc[k] = gc[1 + dlo + k], exclusive E = gc[dlo + k]
-        L = dcp_ref[pl.ds(PADL + dlo, W), :].astype(jnp.int32)
+        L = dcp_ref[pl.ds(PADL + dlo, W), :].astype(dt)
         inc = L
         s = 1
         while s < W:
             r = pltpu.roll(inc, s, 0)
-            inc = inc + jnp.where(kcol < s, 0, r)
+            inc = inc + jnp.where(kcol < s, jnp.asarray(0, dt), r)
             s *= 2
         E = inc - L
         j0 = dlo + kcol
-        hscr[...] = jnp.where((j0 >= 0) & (j0 <= n_cap), E, NEG)
+        hscr[...] = jnp.where((j0 >= 0) & (j0 <= n_cap), E, negc)
         gscr[...] = inc
 
     def pack_body(p, carry):
@@ -721,21 +758,21 @@ def _nw_band_kernel_t8(q_ref, tp_ref, dcp_ref, moves_ref, score_ref, hscr,
             valid = (jrow >= 1) & (jrow <= n_cap)
             same = t_row == qi
             one_pad = (t_row == PAD_CODE) ^ (qi == PAD_CODE)
-            sub = jnp.where(one_pad, NEG, jnp.where(same, match, mismatch))
+            sub = jnp.where(one_pad, negc, jnp.where(same, mt, xt))
             diag_c = hp + sub
             up = pltpu.roll(hp, W - 1, 0)  # circular -1: k reads hp[k+1]
-            up_c = jnp.where(kcol == W - 1, NEG, up) + gap
+            up_c = jnp.where(kcol == W - 1, negc, up) + gt
             cand = jnp.maximum(diag_c, up_c)
-            cand = jnp.where(jrow == 0, i * gap, cand)
-            cand = jnp.where(valid | (jrow == 0), cand, NEG)
+            cand = jnp.where(jrow == 0, (i * gap).astype(dt), cand)
+            cand = jnp.where(valid | (jrow == 0), cand, negc)
             a = cand - gc_here
             s = 1
             while s < W:
                 r = pltpu.roll(a, s, 0)
-                a = jnp.maximum(a, jnp.where(kcol < s, 2 * NEG, r))
+                a = jnp.maximum(a, jnp.where(kcol < s, fillc, r))
                 s *= 2
             h = a + gc_here
-            h = jnp.where(valid | (jrow == 0), h, NEG)
+            h = jnp.where(valid | (jrow == 0), h, negc)
             mv = jnp.where(h == diag_c, 0, jnp.where(h == up_c, 1, 2))
             mv = jnp.where(valid, mv, 3)
             pack = pack | (mv << (2 * u))
@@ -743,7 +780,7 @@ def _nw_band_kernel_t8(q_ref, tp_ref, dcp_ref, moves_ref, score_ref, hscr,
             # advance gc register: R'[k] = gc[i+1+dlo+k]; new top element
             # gc[i+dlo+W] = R[W-1] + dc_col[i+dlo+W-1] (panel row off + W)
             top = jax.lax.slice(R, (W - 1, 0), (W, BT))
-            dcrow = dcp_ref[pl.ds(off + W, 1), :].astype(jnp.int32)
+            dcrow = dcp_ref[pl.ds(off + W, 1), :].astype(dt)
             R = pltpu.roll(R, W - 1, 0)
             R = jnp.where(kcol == W - 1, top + dcrow, R)
         moves_ref[pl.ds(p, 1), :, :] = pack[None]
@@ -757,7 +794,8 @@ def _nw_band_kernel_t8(q_ref, tp_ref, dcp_ref, moves_ref, score_ref, hscr,
     @pl.when(g == n_groups - 1)
     def _():
         k_end = n_cap - m_cap - dlo
-        score_ref[...] = jax.lax.slice(h_final, (k_end, 0), (k_end + 1, BT))
+        score_ref[...] = jax.lax.slice(h_final, (k_end, 0),
+                                       (k_end + 1, BT)).astype(jnp.int32)
 
 
 def nw_band_batch_t8(qT, tpT, dcpT, *, m_cap, n_cap, w_band, match, mismatch,
@@ -772,9 +810,10 @@ def nw_band_batch_t8(qT, tpT, dcpT, *, m_cap, n_cap, w_band, match, mismatch,
     assert B % B_LANE == 0 and m_cap % _GROUP == 0
     assert band_dlo(m_cap, n_cap, w_band) <= 0
     W = w_band
+    dt, neg, fill = _dp_dtype(m_cap, n_cap, match, mismatch, gap)
     kernel = functools.partial(_nw_band_kernel_t8, m_cap=m_cap, n_cap=n_cap,
                                w_band=W, match=match, mismatch=mismatch,
-                               gap=gap)
+                               gap=gap, dt=dt, neg=neg, fill=fill)
     slots = _GROUP // _PACK
     return pl.pallas_call(
         kernel,
@@ -798,8 +837,8 @@ def nw_band_batch_t8(qT, tpT, dcpT, *, m_cap, n_cap, w_band, match, mismatch,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((W, B_LANE), jnp.int32),
-            pltpu.VMEM((W, B_LANE), jnp.int32),
+            pltpu.VMEM((W, B_LANE), dt),
+            pltpu.VMEM((W, B_LANE), dt),
         ],
         interpret=interpret,
     )(qT, tpT, dcpT)
@@ -838,7 +877,8 @@ def _build_group_windows(panelT, m_cap: int, n_cap: int, w_band: int):
 
 def _nw_band_kernel_t8big(q_ref, tpw_ref, dcw_ref, moves_ref, score_ref,
                           hscr, gscr, *, m_cap, n_cap, w_band, match,
-                          mismatch, gap):
+                          mismatch, gap, dt=jnp.int32, neg=NEG,
+                          fill=2 * NEG):
     """q (16, BT) rows of this pack step; tpw/dcw (1, W+_WIN_PAD, BT) this
     GROUP's pre-windowed target/cost rows (pallas reuses the block across
     the 8 pack steps of a group); moves (1, W, BT) this step's plane.
@@ -851,19 +891,24 @@ def _nw_band_kernel_t8big(q_ref, tpw_ref, dcw_ref, moves_ref, score_ref,
     kcol = jax.lax.broadcasted_iota(jnp.int32, (W, BT), 0)
     g = pl.program_id(1)
     p = pl.program_id(2)
+    negc = jnp.asarray(neg, dt)
+    fillc = jnp.asarray(fill, dt)
+    mt = jnp.asarray(match, dt)
+    xt = jnp.asarray(mismatch, dt)
+    gt = jnp.asarray(gap, dt)
 
     @pl.when((g == 0) & (p == 0))
     def _():
-        L = dcw_ref[0, pl.ds(0, W), :].astype(jnp.int32)
+        L = dcw_ref[0, pl.ds(0, W), :].astype(dt)
         inc = L
         s = 1
         while s < W:
             r = pltpu.roll(inc, s, 0)
-            inc = inc + jnp.where(kcol < s, 0, r)
+            inc = inc + jnp.where(kcol < s, jnp.asarray(0, dt), r)
             s *= 2
         E = inc - L
         j0 = dlo + kcol
-        hscr[...] = jnp.where((j0 >= 0) & (j0 <= n_cap), E, NEG)
+        hscr[...] = jnp.where((j0 >= 0) & (j0 <= n_cap), E, negc)
         gscr[...] = inc
 
     hp = hscr[...]
@@ -879,27 +924,27 @@ def _nw_band_kernel_t8big(q_ref, tpw_ref, dcw_ref, moves_ref, score_ref,
         valid = (jrow >= 1) & (jrow <= n_cap)
         same = t_row == qi
         one_pad = (t_row == PAD_CODE) ^ (qi == PAD_CODE)
-        sub = jnp.where(one_pad, NEG, jnp.where(same, match, mismatch))
+        sub = jnp.where(one_pad, negc, jnp.where(same, mt, xt))
         diag_c = hp + sub
         up = pltpu.roll(hp, W - 1, 0)
-        up_c = jnp.where(kcol == W - 1, NEG, up) + gap
+        up_c = jnp.where(kcol == W - 1, negc, up) + gt
         cand = jnp.maximum(diag_c, up_c)
-        cand = jnp.where(jrow == 0, i * gap, cand)
-        cand = jnp.where(valid | (jrow == 0), cand, NEG)
+        cand = jnp.where(jrow == 0, (i * gap).astype(dt), cand)
+        cand = jnp.where(valid | (jrow == 0), cand, negc)
         a = cand - gc_here
         s = 1
         while s < W:
             r = pltpu.roll(a, s, 0)
-            a = jnp.maximum(a, jnp.where(kcol < s, 2 * NEG, r))
+            a = jnp.maximum(a, jnp.where(kcol < s, fillc, r))
             s *= 2
         h = a + gc_here
-        h = jnp.where(valid | (jrow == 0), h, NEG)
+        h = jnp.where(valid | (jrow == 0), h, negc)
         mv = jnp.where(h == diag_c, 0, jnp.where(h == up_c, 1, 2))
         mv = jnp.where(valid, mv, 3)
         pack = pack | (mv << (2 * u))
         hp = h
         top = jax.lax.slice(R, (W - 1, 0), (W, BT))
-        dcrow = dcw_ref[0, pl.ds(loc + W, 1), :].astype(jnp.int32)
+        dcrow = dcw_ref[0, pl.ds(loc + W, 1), :].astype(dt)
         R = pltpu.roll(R, W - 1, 0)
         R = jnp.where(kcol == W - 1, top + dcrow, R)
     moves_ref[...] = pack[None]
@@ -909,7 +954,8 @@ def _nw_band_kernel_t8big(q_ref, tpw_ref, dcw_ref, moves_ref, score_ref,
     @pl.when((g == n_groups - 1) & (p == packs - 1))
     def _():
         k_end = n_cap - m_cap - dlo
-        score_ref[...] = jax.lax.slice(hp, (k_end, 0), (k_end + 1, BT))
+        score_ref[...] = jax.lax.slice(hp, (k_end, 0),
+                                       (k_end + 1, BT)).astype(jnp.int32)
 
 
 def nw_band_batch_t8big(qT, tpT, dcpT, *, m_cap, n_cap, w_band, match,
@@ -926,9 +972,11 @@ def nw_band_batch_t8big(qT, tpT, dcpT, *, m_cap, n_cap, w_band, match,
     win = _window_rows(m_cap, n_cap, W)
     tpw = _build_group_windows(tpT, m_cap, n_cap, W)
     dcw = _build_group_windows(dcpT, m_cap, n_cap, W)
+    dt, neg, fill = _dp_dtype(m_cap, n_cap, match, mismatch, gap)
     kernel = functools.partial(_nw_band_kernel_t8big, m_cap=m_cap,
                                n_cap=n_cap, w_band=W, match=match,
-                               mismatch=mismatch, gap=gap)
+                               mismatch=mismatch, gap=gap, dt=dt, neg=neg,
+                               fill=fill)
     return pl.pallas_call(
         kernel,
         grid=(B // B_LANE, groups, packs),
@@ -951,8 +999,8 @@ def nw_band_batch_t8big(qT, tpT, dcpT, *, m_cap, n_cap, w_band, match,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((W, B_LANE), jnp.int32),
-            pltpu.VMEM((W, B_LANE), jnp.int32),
+            pltpu.VMEM((W, B_LANE), dt),
+            pltpu.VMEM((W, B_LANE), dt),
         ],
         interpret=interpret,
     )(qT, tpw, dcw)
