@@ -37,6 +37,16 @@ inline int64_t prof_now() {
                      : 0;
 }
 
+inline int32_t base_code(uint8_t b) {
+    switch (b) {
+        case 'A': return 0;
+        case 'C': return 1;
+        case 'G': return 2;
+        case 'T': return 3;
+        default: return -1;
+    }
+}
+
 struct Graph {
     // Structure-of-arrays storage + linked adjacency with TAIL insertion:
     // list iteration follows creation order exactly like a vector<vector>
@@ -59,6 +69,13 @@ struct Graph {
     std::vector<int32_t> next_in, next_out;
     // per column
     std::vector<int32_t> var_head, var_tail;
+    // direct-mapped variant lookup: var_map[4*t + code(b)] = the (unique)
+    // variant node with base b at backbone column t, or -1. The ring
+    // (var_head/node_next) is kept for creation-order iteration in
+    // bundle/emit; add_path's hot lookup becomes one indexed load instead
+    // of a pointer chase. Non-ACGT bases (no 2-bit code) fall back to the
+    // ring scan.
+    std::vector<int32_t> var_map;
     // insertion nodes are column-aligned per gap: ins_head[gap][depth] heads
     // a node list so identical inserted bases from different layers share one
     // node and votes concentrate (the role graph alignment plays in
@@ -155,6 +172,7 @@ struct Graph {
         }
         var_head.assign(len, -1);
         var_tail.assign(len, -1);
+        var_map.assign(4 * static_cast<size_t>(len), -1);
         if (static_cast<int32_t>(ins_head.size()) < len + 1) {
             ins_head.resize(len + 1);
             ins_tail.resize(len + 1);
@@ -232,12 +250,17 @@ struct Graph {
                     if (n_base[t] == b) {
                         node = t;
                     } else {
-                        node = -1;
-                        for (int32_t v = var_head[t]; v >= 0;
-                             v = node_next[v]) {
-                            if (n_base[v] == b) {
-                                node = v;
-                                break;
+                        const int32_t bc = base_code(b);
+                        if (bc >= 0) {
+                            node = var_map[4 * static_cast<size_t>(t) + bc];
+                        } else {
+                            node = -1;
+                            for (int32_t v = var_head[t]; v >= 0;
+                                 v = node_next[v]) {
+                                if (n_base[v] == b) {
+                                    node = v;
+                                    break;
+                                }
                             }
                         }
                         if (node < 0) {
@@ -245,6 +268,10 @@ struct Graph {
                             if (var_tail[t] >= 0) node_next[var_tail[t]] = node;
                             else var_head[t] = node;
                             var_tail[t] = node;
+                            if (bc >= 0) {
+                                var_map[4 * static_cast<size_t>(t) + bc] =
+                                    node;
+                            }
                             created = true;
                         }
                     }
