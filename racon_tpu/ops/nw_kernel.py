@@ -494,10 +494,12 @@ def align_walk_padded(q8, t8, dc8, m, n, *, m_cap, n_cap, w_band, match,
     device is visible, the batch is sharded over the device mesh
     (parallel/mesh.sharded_align_walk — window/overlap data parallelism).
     Returns (payload, score, fmt) for the PADDED batch; callers slice [:B].
-    fmt names the payload format: "rle" (event bytes, decode with
-    bindings.opstream_rle_to_ops_batch against rle_events(...)) on real
-    chips where the transposed kernel fits, else "packed2" (2-bit steps,
-    decode against walk_steps(...))."""
+    fmt names the payload format per walk_fmt: "rle" (event bytes, decode
+    with bindings.opstream_rle_to_ops_batch against rle_events(...)),
+    "rows" (one record byte per query row + final-deletions + escape,
+    decode with bindings.opstream_rows_to_ops_batch against
+    rows_payload_width(...)), or "packed2" (2-bit steps, decode against
+    walk_steps(...))."""
     from ..parallel.mesh import active_mesh, sharded_align_walk
 
     B = q8.shape[0]
