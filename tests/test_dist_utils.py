@@ -58,3 +58,22 @@ def test_bar_progress_draws_each_bin_once():
     # monotone: every 5% step appears at most once
     for pct in range(5, 101, 5):
         assert out.count(f" {pct}%") == 1
+
+
+def test_gather_to0_single_process_fallback():
+    """gather_ragged_to0 / gather_blob_to0 must degrade to the allgather
+    path (returning every item, in order) when no KV client / multi-process
+    runtime exists — the polish() path uses them unconditionally under
+    dist.is_active(), and single-process tests reach them via the public
+    API too."""
+    import numpy as np
+    from racon_tpu.parallel import dist
+
+    items = [np.arange(3, dtype=np.uint8), np.zeros(0, np.uint8),
+             np.array([7, 9], np.uint8)]
+    out = dist.gather_ragged_to0(items, np.uint8)
+    assert len(out) == 3
+    for a, b in zip(items, out):
+        assert np.array_equal(a, b)
+    blob = dist.gather_blob_to0(np.arange(5, dtype=np.int64))
+    assert len(blob) == 1 and np.array_equal(blob[0], np.arange(5))
