@@ -75,3 +75,35 @@ def test_tpu_align_stage_matches_native(tmp_path):
     assert np.array_equal(w1.lay_end, w2.lay_end)
     assert np.array_equal(w1.lay_qbegin, w2.lay_qbegin)
     assert np.array_equal(w1.lay_qlen, w2.lay_qlen)
+
+
+def test_small_batch_auto_routes_to_host(tmp_path, monkeypatch):
+    """A non-interpret TPU align stage must route batches under
+    DEVICE_MIN_OVERLAPS to the native host aligner WITHOUT touching any
+    device API (measured crossover in BENCH_LEDGER; reference analog: the
+    GPU path's CPU fallback, src/cuda/cudapolisher.cpp:204-213). Runs on
+    CPU: if the route is taken, no jax dispatch happens at all."""
+    p, cfg = _build(tmp_path)
+    p.initialize()  # native reference run for comparison
+    p2, _ = _build(tmp_path)
+    stage = TpuAlignStage(cfg, interpret=False)  # pretend real chip
+
+    calls = {}
+    orig = NativeAlignStage.breaking_points
+
+    def spy(self, *a, **k):
+        calls["native"] = calls.get("native", 0) + 1
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(NativeAlignStage, "breaking_points", spy)
+
+    from racon_tpu.core.overlaps import OverlapTable  # noqa: F401
+
+    # drive the polisher's breaking-point dispatch through the tpu stage
+    import racon_tpu.backends as backends
+
+    monkeypatch.setattr(backends, "get_align_stage", lambda c: stage)
+    p2.initialize()
+    assert calls.get("native", 0) >= 1  # routed, not dispatched
+    assert np.array_equal(p.windows.lay_win, p2.windows.lay_win)
+    assert np.array_equal(p.windows.lay_begin, p2.windows.lay_begin)
