@@ -97,7 +97,6 @@ def build_workload(seed=1234, n_windows=None, window_len=None):
 
     windows = WindowSet(store, 1, window_len, WINDOW_TYPE_TGS)
     # assign layers via the host aligner's breaking points (setup, not timed)
-    from racon_tpu.core.overlaps import OverlapTable
     from racon_tpu.native import bindings
 
     n_reads = len(parts) - 1
@@ -157,7 +156,6 @@ def bench_kernel_cells():
     ops/s -> SOL ≈ 2.1e11 cells/s. The fused dispatch also runs prep +
     the traceback walk, so the measured figure UNDERstates pure-NW
     throughput."""
-    import functools
     import jax
     from racon_tpu.ops.nw_kernel import (_prep_panels_t8,
                                          align_walk_rle_batch,

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .consensus_stage_tpu import _concat_off, chunk_size
+from .consensus_stage_tpu import chunk_size
 from .nw_kernel import (align_walk_padded, encode, rle_events, walk_steps,
                         PAD_CODE)
 
