@@ -106,6 +106,9 @@ def main():
                     "uniform thirds, or the indel-skewed nanopore-like mix")
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--threads", type=int, default=os.cpu_count() or 4)
+    ap.add_argument("--refine-passes", type=int, default=None,
+                    help="override the consensus refinement pass count "
+                    "(speed/quality dial; default = PolisherConfig's)")
     ap.add_argument("--workdir", default="/tmp/racon_tpu_genome_scale")
     ap.add_argument("--verbose", action="store_true",
                     help="show the per-stage logger timers on stderr")
@@ -127,8 +130,10 @@ def main():
     from racon_tpu.models.polish_model import PolisherConfig
     from racon_tpu.polisher import create_polisher
 
+    extra = ({"refine_passes": a.refine_passes}
+             if a.refine_passes is not None else {})
     cfg = PolisherConfig(backend=a.backend, num_threads=a.threads,
-                         match=5, mismatch=-4, gap=-8)
+                         match=5, mismatch=-4, gap=-8, **extra)
     runs = []
     for it in range(max(1, a.repeat)):
         p = create_polisher(os.path.join(a.workdir, "reads.fasta"),
@@ -172,7 +177,8 @@ def main():
           flush=True)
 
     import json
-    rec = {"data": "synthetic", "genome_bp": genome_bp,
+    rec = {"data": "synthetic", "refine_passes": a.refine_passes,
+           "genome_bp": genome_bp,
            "coverage": a.coverage, "error_profile": a.profile,
            "read_len": a.read_len, "read_error": a.error,
            "backend": a.backend, "threads": a.threads,
