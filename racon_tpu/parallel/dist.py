@@ -161,17 +161,31 @@ def gather_ragged_to0(items: list[np.ndarray], dtype,
     _g2z_counter[0] += 1
     key = f"racon_tpu/g2z/{_g2z_counter[0]}"
     me = process_index()
+    # the KV service handles modest values; genome-scale consensus shards
+    # can reach hundreds of MB, so payloads ship in bounded parts
+    PART = 48 << 20
     if me != 0:
-        client.key_value_set_bytes(f"{key}/{me}", payload)
+        parts = [payload[o : o + PART] for o in range(0, len(payload),
+                                                      PART)] or [b""]
+        client.key_value_set_bytes(f"{key}/{me}/n",
+                                   str(len(parts)).encode())
+        for i, part in enumerate(parts):
+            client.key_value_set_bytes(f"{key}/{me}/{i}", part)
         return []
     out: list[np.ndarray] = []
     for p in range(process_count()):
         if p == 0:
             raw = payload
         else:
-            raw = client.blocking_key_value_get_bytes(f"{key}/{p}",
-                                                      600_000)
-            client.key_value_delete(f"{key}/{p}")
+            nparts = int(client.blocking_key_value_get_bytes(
+                f"{key}/{p}/n", 600_000))
+            chunks = []
+            for i in range(nparts):
+                chunks.append(client.blocking_key_value_get_bytes(
+                    f"{key}/{p}/{i}", 600_000))
+                client.key_value_delete(f"{key}/{p}/{i}")
+            client.key_value_delete(f"{key}/{p}/n")
+            raw = b"".join(chunks)
         k = int(np.frombuffer(raw[:8], np.int64)[0])
         ls = np.frombuffer(raw[8 : 8 + 8 * k], np.int64)
         flat = np.frombuffer(raw[8 + 8 * k :], it).reshape((-1,) + trailing)
