@@ -179,7 +179,18 @@ def main(argv: list[str] | None = None) -> int:
 
     cfg = build_config(args)
     import os as _os
+    out_stream = None
     if args.distributed or _os.environ.get("RACON_TPU_DISTRIBUTED") == "1":
+        # collective backends (gloo on CPU) print connection banners to
+        # fd 1, which would corrupt the FASTA stream: keep a private
+        # handle to the REAL stdout for our output and point fd 1 at
+        # stderr so library chatter lands there instead
+        try:
+            real = _os.dup(1)
+            _os.dup2(2, 1)
+            out_stream = _os.fdopen(real, "wb")
+        except OSError:
+            out_stream = None
         # must come up before any device use so the mesh spans every host
         from .parallel import dist
         dist.initialize()
@@ -227,7 +238,7 @@ def main(argv: list[str] | None = None) -> int:
             except Exception:
                 pass
 
-    out = sys.stdout.buffer
+    out = out_stream if out_stream is not None else sys.stdout.buffer
     for name, data in polished:
         out.write(b">" + name + b"\n" + data + b"\n")
     out.flush()

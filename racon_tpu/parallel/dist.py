@@ -28,10 +28,22 @@ def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> None:
     """Multi-host entry: bring up jax.distributed before any device use so
-    the mesh spans every host. With no arguments, jax reads the standard
-    environment (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
-    JAX_PROCESS_ID, or cloud-TPU metadata). No-op when already up."""
+    the mesh spans every host. With no arguments, reads
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID from the
+    environment EXPLICITLY (this jax version's auto-detect only covers
+    cluster plugins — SLURM / cloud-TPU metadata — not these variables;
+    on a cloud-TPU pod leave them unset and the metadata path applies).
+    No-op when already up."""
+    import os
+
     import jax
+
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
 
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,

@@ -189,3 +189,41 @@ def test_dist_times_mesh_polish_matches_single(tmp_path):
     single = p1.polish(drop_unpolished_sequences=True)
     expect = b"".join(b">" + n + b"\n" + d + b"\n" for n, d in single)
     assert out2.read_bytes() == expect
+
+
+def test_distributed_cli_env_driven(tmp_path):
+    """`raconx --distributed` with env-driven initialization must (a)
+    read JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID
+    itself (this jax's auto-detect covers only cluster plugins) and (b)
+    emit CLEAN FASTA on process 0's stdout — collective backends print
+    connection banners to fd 1, which the CLI shields away (round-3 bug:
+    gloo's "[Gloo] Rank..." line corrupted piped output)."""
+    _make_dataset(tmp_path)
+    port = _free_port()
+    env = _clean_env()
+    procs = []
+    for pid in range(2):
+        e = dict(env)
+        e["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+        e["JAX_NUM_PROCESSES"] = "2"
+        e["JAX_PROCESS_ID"] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "racon_tpu.cli", "--distributed",
+             "--backend", "native", "-t", "1",
+             str(tmp_path / "reads.fasta"), str(tmp_path / "ovl.paf"),
+             str(tmp_path / "draft.fasta")],
+            env=e, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            cwd="/root/repo"))
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed CLI worker timed out")
+        assert p.returncode == 0, err.decode()[-2000:]
+        outs.append(out)
+    assert outs[0].startswith(b">ctg"), outs[0][:80]
+    assert b"Gloo" not in outs[0]
+    assert outs[1] == b""
