@@ -10,7 +10,6 @@ batches only at pack time.
 
 from __future__ import annotations
 
-import sys
 
 import numpy as np
 

@@ -8,7 +8,7 @@ kernels vs native host vs pure python). Defaults match the reference CLI
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 class PolisherType(enum.Enum):

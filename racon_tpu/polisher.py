@@ -21,7 +21,7 @@ import numpy as np
 
 from .errors import RaconError
 from .io import open_sequence_parser, open_overlap_parser
-from .core.store import SequenceStore, SequenceStoreBuilder
+from .core.store import SequenceStore
 from .core.overlaps import OverlapTable
 from .core.breakpoints import breaking_points_from_cigar
 from .core.windows import (WindowSet, stitch, WINDOW_TYPE_NGS,
