@@ -1688,19 +1688,24 @@ def _walk_rows_row(mvplane, kvec, esc, active, i, dlo, w_band, kcol):
     return rec, kvec, esc
 
 
+_SLOT_G = 8  # move-word slots (16 rows each) per walk grid step
+
+
 def _walk_rows_kernel(m_ref, n_ref, moves_ref, rec_ref, fin_ref, kscr,
                       escscr, *, m_cap, n_cap, w_band):
-    """Grid (B//B_LANE, slots); slot planes stream top-down (index map
-    reverses s). rec_ref is the whole (m_cap//4, B_LANE) int32 word block
-    (resident across s — its block index only changes with b); fin_ref
-    holds [final deletions, escape] in rows 0-1."""
+    """Grid (B//B_LANE, slots//_SLOT_G); groups of _SLOT_G slot planes
+    stream top-down (index map reverses s) — grouping amortizes the
+    per-grid-step fixed cost 8x vs one slot per step. rec_ref is the
+    whole (m_cap//4, B_LANE) int32 word block (resident across s — its
+    block index only changes with b); fin_ref holds [final deletions,
+    escape] in rows 0-1."""
     W = w_band
     BT = m_ref.shape[1]
     dlo = band_dlo(m_cap, n_cap, W)
-    n_slots = m_cap // _PACK
+    n_groups = m_cap // (_PACK * _SLOT_G)
     kcol = jax.lax.broadcasted_iota(jnp.int32, (W, BT), 0)
     s = pl.program_id(1)
-    slot = n_slots - 1 - s
+    group = n_groups - 1 - s
 
     @pl.when(s == 0)
     def _():
@@ -1710,33 +1715,35 @@ def _walk_rows_kernel(m_ref, n_ref, moves_ref, rec_ref, fin_ref, kscr,
     kvec = kscr[...]
     esc = escscr[...]
     m = m_ref[...]
-    mvword = moves_ref[0]  # (W, BT) packed move words for this slot
-    words = []
-    for u in range(_PACK - 1, -1, -1):
-        i = slot * _PACK + u + 1
-        mvplane = (mvword >> (2 * u)) & 3
-        active = (i <= m).astype(jnp.int32) * (1 - esc)
-        rec, kvec, esc = _walk_rows_row(mvplane, kvec, esc, active, i, dlo,
-                                        W, kcol)
-        words.append(rec)
-    # words[x] is row u = 15-x; byte order within an int32 must follow
-    # ascending row (little-endian view on host): word w holds rows
-    # 4w..4w+3 in bytes 0..3
-    packs = []
-    for wi in range(_PACK // 4 - 1, -1, -1):  # assemble words 3,2,1,0
-        b0 = words[15 - (4 * wi + 0)]
-        b1 = words[15 - (4 * wi + 1)]
-        b2 = words[15 - (4 * wi + 2)]
-        b3 = words[15 - (4 * wi + 3)]
-        packs.append(b0 | (b1 << 8) | (b2 << 16) | (b3 << 24))
-    packs.reverse()  # now ascending word index within the slot
-    block = jnp.concatenate(packs, axis=0)  # (4, BT)
-    rec_ref[pl.ds(slot * (_PACK // 4), _PACK // 4), :] = block
+    for gi in range(_SLOT_G - 1, -1, -1):
+        slot = group * _SLOT_G + gi
+        mvword = moves_ref[gi]  # (W, BT) packed move words for this slot
+        words = []
+        for u in range(_PACK - 1, -1, -1):
+            i = slot * _PACK + u + 1
+            mvplane = (mvword >> (2 * u)) & 3
+            active = (i <= m).astype(jnp.int32) * (1 - esc)
+            rec, kvec, esc = _walk_rows_row(mvplane, kvec, esc, active, i,
+                                            dlo, W, kcol)
+            words.append(rec)
+        # words[x] is row u = 15-x; byte order within an int32 must follow
+        # ascending row (little-endian view on host): word w holds rows
+        # 4w..4w+3 in bytes 0..3
+        packs = []
+        for wi in range(_PACK // 4 - 1, -1, -1):  # assemble words 3,2,1,0
+            b0 = words[15 - (4 * wi + 0)]
+            b1 = words[15 - (4 * wi + 1)]
+            b2 = words[15 - (4 * wi + 2)]
+            b3 = words[15 - (4 * wi + 3)]
+            packs.append(b0 | (b1 << 8) | (b2 << 16) | (b3 << 24))
+        packs.reverse()  # now ascending word index within the slot
+        block = jnp.concatenate(packs, axis=0)  # (4, BT)
+        rec_ref[pl.ds(slot * (_PACK // 4), _PACK // 4), :] = block
 
     kscr[...] = kvec
     escscr[...] = esc
 
-    @pl.when(s == n_slots - 1)
+    @pl.when(s == n_groups - 1)
     def _():
         jfin = dlo + kvec
         esc2 = esc | ((jfin < 0) | (jfin > 255)).astype(jnp.int32)
@@ -1750,8 +1757,8 @@ def walk_rows_t(moves, m, n, *, m_cap, n_cap, w_band, interpret=False):
     payload[:, r] is the record for query row r+1, payload[:, m_cap] the
     final-deletions count, payload[:, m_cap+1] the escape flag."""
     B = moves.shape[2]
-    assert B % B_LANE == 0 and m_cap % _PACK == 0
-    n_slots = m_cap // _PACK
+    assert B % B_LANE == 0 and m_cap % (_PACK * _SLOT_G) == 0
+    n_groups = m_cap // (_PACK * _SLOT_G)
     W = w_band
     m2 = m.reshape(1, B).astype(jnp.int32)
     n2 = n.reshape(1, B).astype(jnp.int32)
@@ -1759,7 +1766,7 @@ def walk_rows_t(moves, m, n, *, m_cap, n_cap, w_band, interpret=False):
                                w_band=W)
     rec32, fin = pl.pallas_call(
         kernel,
-        grid=(B // B_LANE, n_slots),
+        grid=(B // B_LANE, n_groups),
         out_shape=(
             jax.ShapeDtypeStruct((m_cap // 4, B), jnp.int32),
             jax.ShapeDtypeStruct((8, B), jnp.int32),
@@ -1769,9 +1776,9 @@ def walk_rows_t(moves, m, n, *, m_cap, n_cap, w_band, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B_LANE), lambda b, s: (0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W, B_LANE),
-                         lambda b, s, n_slots=n_slots: (n_slots - 1 - s, 0,
-                                                        b),
+            pl.BlockSpec((_SLOT_G, W, B_LANE),
+                         lambda b, s, n_groups=n_groups: (n_groups - 1 - s,
+                                                          0, b),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
