@@ -436,10 +436,12 @@ def opstream_rle_to_ops_batch(codes, max_events, m, n, n_threads,
 
 def opstream_rows_to_ops_batch(codes, budget, m, n, n_threads,
                                dst=None, dst_off=None):
-    """codes: (B, m_cap + 1) uint8 rows-walk records (one byte per query
-    row + the final-deletions byte; nw_kernel.walk_rows_t payload minus
-    the escape column). Returns (ops flat (sum,2) int32, offsets, counts);
-    see _opstream_common for the in-place mode."""
+    """codes: (B, m_cap + 2) uint8 — the FULL nw_kernel.walk_rows_t
+    payload (one record byte per query row, the final-deletions byte,
+    then the escape byte; the decoder reads budget - 2 = m_cap records
+    and the final-deletions byte and ignores the escape column). budget
+    must be m_cap + 2. Returns (ops flat (sum,2) int32, offsets,
+    counts); see _opstream_common for the in-place mode."""
     return _opstream_common(get_lib().rt_opstream_rows_to_ops_batch,
                             codes, budget, m, n, n_threads, dst, dst_off)
 

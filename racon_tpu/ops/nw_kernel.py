@@ -1439,9 +1439,12 @@ def align_walk_gather_padded(qblob4_dev, tblob4_dev, dcbits_dev, meta, *,
     if bp != B:
         meta = np.pad(np.asarray(meta), ((0, bp - B), (0, 0)))
     # rows payloads only (gather dispatches are small-tier consensus work);
-    # everything else keeps the 2-bit step stream
+    # everything else keeps the 2-bit step stream. "rows" additionally
+    # requires the small transposed sweep: align_walk_gather_core_rows_t
+    # has no big-tier variant, so a big-only tier (t_big_fits without
+    # t_kernel_fits) under RACON_TPU_WALK=rows must not select it.
     fmt = walk_fmt(m_cap, n_cap, w_band, interpret, bp)
-    if fmt != "rows":
+    if fmt != "rows" or not t_kernel_fits(m_cap, n_cap, w_band):
         fmt = "packed2"
     if mesh is not None:
         payload, score = sharded_align_walk_gather(
@@ -1802,8 +1805,9 @@ def walk_rows_t(moves, m, n, *, m_cap, n_cap, w_band, interpret=False):
 @functools.partial(jax.jit, static_argnames=("m_cap", "n_cap", "w_band"))
 def walk_rows_ref(moves, m, n, *, m_cap, n_cap, w_band):
     """Pure-jnp twin of walk_rows_t (identical payload bytes): lax.scan
-    over query rows on whole (W, B) planes. Used by tests and by CPU mesh
-    shards (where interpret-mode pallas does not execute under SPMD)."""
+    over query rows on whole (W, B) planes. Test-only oracle: production
+    never routes here — CPU mesh shards run with interpret=True, where
+    walk_fmt returns "packed2" and the rows walk is never selected."""
     B = moves.shape[2]
     W = w_band
     dlo = band_dlo(m_cap, n_cap, W)
@@ -1837,19 +1841,23 @@ def walk_rows_ref(moves, m, n, *, m_cap, n_cap, w_band):
 
 
 def align_walk_packed_core_rows_t(q4, t4, dcb, m, n, *, m_cap, n_cap, w_band,
-                                  match, mismatch, gap, big=False):
+                                  match, mismatch, gap, big=False,
+                                  interpret=False):
     """align_walk_packed_core with the row-synchronous walk: payload is
     (B, m_cap + 2) uint8 (rows_payload_width) — per-row records + the
     final-deletions byte + the escape flag. The sweep is the t8 (or, with
-    big=True, the pre-windowed big-tier) kernel; the walk never gathers."""
+    big=True, the pre-windowed big-tier) kernel; the walk never gathers.
+    interpret=True runs both pallas kernels in interpret mode (the
+    end-to-end sweep->rows-walk parity test rides it on CPU)."""
     W = w_band
     qT, tpT, dcpT = _prep_panels_t8(q4, t4, dcb, m_cap=m_cap, n_cap=n_cap,
                                     w_band=W, gap=gap)
     sweep = nw_band_batch_t8big if big else nw_band_batch_t8
     moves, score = sweep(qT, tpT, dcpT, m_cap=m_cap, n_cap=n_cap, w_band=W,
-                         match=match, mismatch=mismatch, gap=gap)
+                         match=match, mismatch=mismatch, gap=gap,
+                         interpret=interpret)
     payload, _ = walk_rows_t(moves, m, n, m_cap=m_cap, n_cap=n_cap,
-                             w_band=W)
+                             w_band=W, interpret=interpret)
     return payload, score.T
 
 

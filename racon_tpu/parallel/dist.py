@@ -145,6 +145,17 @@ def _kv_client():
         return None
 
 
+def _kv_part_bytes() -> int:
+    """Per-message size for KV shard transfers. gRPC / coordination-service
+    message limits are version-dependent (4 MB is the classic gRPC default),
+    so parts stay small; RACON_TPU_KV_PART_BYTES overrides (tests use it to
+    force the multi-part path on tiny payloads)."""
+    import os
+
+    return max(64, int(os.environ.get("RACON_TPU_KV_PART_BYTES",
+                                      2 << 20)))
+
+
 def gather_ragged_to0(items: list[np.ndarray], dtype,
                       trailing: tuple[int, ...] = ()) -> list[np.ndarray]:
     """Gather a list of variable-length arrays to process 0 ONLY.
@@ -155,13 +166,18 @@ def gather_ragged_to0(items: list[np.ndarray], dtype,
     jax.distributed key-value service point-to-point instead: process p
     posts its packed shard once, process 0 fetches each. Returns the
     global item list on process 0 and [] elsewhere. Falls back to
-    allgather_ragged when the KV client is unavailable (e.g. single
-    process or a backend without the coordinator service)."""
+    allgather_ragged when the KV client is unavailable (single process /
+    no coordinator service), and — collectively, via a decision key posted
+    by process 0 — when any sender's key_value_set raises (e.g. a
+    message-size limit): failed senders post a "-1" part count, process 0
+    sees it and directs EVERY process into the allgather path so the
+    collective stays aligned."""
+    import os
+
     client = _kv_client()
     if client is None or not is_active():
         return allgather_ragged(items, dtype, trailing)
     it = np.dtype(dtype)
-    tail = int(np.prod(trailing, dtype=np.int64)) if trailing else 1
     lens = np.array([len(a) for a in items], np.int64)
     if items:
         blob = np.concatenate([np.asarray(a, dtype).reshape((-1,) + trailing)
@@ -173,28 +189,52 @@ def gather_ragged_to0(items: list[np.ndarray], dtype,
     _g2z_counter[0] += 1
     key = f"racon_tpu/g2z/{_g2z_counter[0]}"
     me = process_index()
-    # the KV service handles modest values; genome-scale consensus shards
-    # can reach hundreds of MB, so payloads ship in bounded parts
-    PART = 48 << 20
+    PART = _kv_part_bytes()
+    TMO = 600_000
     if me != 0:
-        parts = [payload[o : o + PART] for o in range(0, len(payload),
-                                                      PART)] or [b""]
-        client.key_value_set_bytes(f"{key}/{me}/n",
-                                   str(len(parts)).encode())
-        for i, part in enumerate(parts):
-            client.key_value_set_bytes(f"{key}/{me}/{i}", part)
+        try:
+            if os.environ.get("RACON_TPU_KV_FORCE_FAIL") == "1":
+                raise RuntimeError("forced KV failure (test hook)")
+            parts = [payload[o : o + PART] for o in range(0, len(payload),
+                                                          PART)] or [b""]
+            for i, part in enumerate(parts):
+                client.key_value_set_bytes(f"{key}/{me}/{i}", part)
+            client.key_value_set_bytes(f"{key}/{me}/n",
+                                       str(len(parts)).encode())
+        except Exception:
+            try:
+                client.key_value_set_bytes(f"{key}/{me}/n", b"-1")
+            except Exception:
+                pass  # KV service down entirely; process 0 will time out
+        decision = client.blocking_key_value_get_bytes(f"{key}/decision",
+                                                       TMO)
+        if decision == b"ag":
+            allgather_ragged(items, dtype, trailing)
         return []
+    # process 0: read every sender's part count BEFORE deciding the path
+    counts = {}
+    fell_back = False
+    for p in range(1, process_count()):
+        try:
+            counts[p] = int(client.blocking_key_value_get_bytes(
+                f"{key}/{p}/n", TMO))
+        except Exception:
+            counts[p] = -1
+        if counts[p] < 0:
+            fell_back = True
+    client.key_value_set_bytes(f"{key}/decision",
+                               b"ag" if fell_back else b"kv")
+    if fell_back:
+        return allgather_ragged(items, dtype, trailing)
     out: list[np.ndarray] = []
     for p in range(process_count()):
         if p == 0:
             raw = payload
         else:
-            nparts = int(client.blocking_key_value_get_bytes(
-                f"{key}/{p}/n", 600_000))
             chunks = []
-            for i in range(nparts):
+            for i in range(counts[p]):
                 chunks.append(client.blocking_key_value_get_bytes(
-                    f"{key}/{p}/{i}", 600_000))
+                    f"{key}/{p}/{i}", TMO))
                 client.key_value_delete(f"{key}/{p}/{i}")
             client.key_value_delete(f"{key}/{p}/n")
             raw = b"".join(chunks)

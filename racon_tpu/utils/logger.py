@@ -15,8 +15,10 @@ class Logger:
         self._origin = time.monotonic()
         self._stage = self._origin
         self._bar_bins = 0
+        self._bar_done_msg = None
 
     def log(self, message: str | None = None) -> None:
+        self._bar_done_msg = None
         if message is None:
             self._stage = time.monotonic()
             return
@@ -50,9 +52,18 @@ class Logger:
         if total <= 0:
             return
         target = min(20, done * 20 // total)
+        # completion is idempotent: a stage's final safety-net
+        # bar_progress(total, total) after the in-loop call already
+        # finished the bar must not draw a second full bar (VERDICT r3)
+        if (target >= 20 and self._bar_bins == 0
+                and self._bar_done_msg == message):
+            return
+        if self._bar_bins < target:
+            self._bar_done_msg = None
         while self._bar_bins < target:
             self.bar(message)
             if self._bar_bins == 0:  # bar() wrapped at 20: stage finished
+                self._bar_done_msg = message
                 return
 
     def total(self, message: str) -> None:

@@ -149,3 +149,56 @@ def test_rows_walk_long_deletion_run_escapes():
     payload, esc = walk_rows_ref(moves[:1].transpose(1, 2, 0), m, n,
                                  m_cap=M_CAP, n_cap=N_CAP, w_band=W)
     assert bool(np.asarray(esc)[0])
+
+
+@pytest.mark.parametrize("big", [False, True])
+def test_fused_rows_pipeline_matches_packed2(big):
+    """End-to-end fused rows pipeline (t8/t8big sweep -> walk_rows_t, both
+    interpret mode) vs the lane-major packed2 fused path on the same
+    inputs: the sweeps' packed move-word layout and the rows walk's
+    slot/bit-plane reads must agree, decoded ops identical (ADVICE r3)."""
+    import functools
+
+    from racon_tpu.native import bindings
+    from racon_tpu.ops.nw_kernel import (align_walk_packed_core,
+                                         align_walk_packed_core_rows_t,
+                                         nw_band_batch, pack_codes4,
+                                         pack_delbits)
+
+    rng = np.random.default_rng(47)
+    B = 128  # B_LANE-aligned (the transposed kernels' batch unit)
+    pairs = _random_pairs(rng, B)
+    scores = (0, -1, -1)
+    q8 = np.full((B, M_CAP), PAD_CODE, np.int8)
+    t8 = np.full((B, N_CAP), PAD_CODE, np.int8)
+    m = np.zeros(B, np.int32)
+    n = np.zeros(B, np.int32)
+    for b, (qa, ta) in enumerate(pairs):
+        q8[b, : len(qa)] = encode(qa)
+        t8[b, : len(ta)] = encode(ta)
+        m[b], n[b] = len(qa), len(ta)
+    dc8 = np.full((B, N_CAP), scores[2], np.int8)
+    q4, t4, dcb = pack_codes4(q8), pack_codes4(t8), pack_delbits(dc8)
+    kw = dict(m_cap=M_CAP, n_cap=N_CAP, w_band=W, match=scores[0],
+              mismatch=scores[1], gap=scores[2])
+
+    rows_payload, rows_score = align_walk_packed_core_rows_t(
+        q4, t4, dcb, m, n, big=big, interpret=True, **kw)
+    rows_payload = np.asarray(rows_payload)
+    assert not rows_payload[:, -1].any(), "unexpected escapes"
+    ops2, off2, cnt2 = bindings.opstream_rows_to_ops_batch(
+        rows_payload, M_CAP + 2, m, n, 2)
+
+    p2_payload, p2_score = align_walk_packed_core(
+        q4, t4, dcb, m, n,
+        nw_fn=functools.partial(nw_band_batch, interpret=True), **kw)
+    p2_payload = np.asarray(p2_payload)
+    codes = np.ascontiguousarray(p2_payload[:, :-1])
+    ops1, off1, cnt1 = bindings.opstream_packed_to_ops_batch(
+        codes, walk_steps(M_CAP, N_CAP, W), m, n, 2)
+
+    assert np.array_equal(np.asarray(rows_score), np.asarray(p2_score))
+    for b in range(B):
+        a = ops1[off1[b] : off1[b] + cnt1[b]]
+        c = ops2[off2[b] : off2[b] + cnt2[b]]
+        assert np.array_equal(a, c), f"item {b}: {a} vs {c}"
