@@ -246,5 +246,21 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def run() -> None:
+    """Process entry point (console script / python -m): hard-exit after
+    flushing. The jax runtime's tunnel/compile daemon threads can abort
+    pthread-cancellation during interpreter teardown ("FATAL: exception
+    not rethrown" after all output was already written); a C++ CLI exits
+    the instant its work is done (reference: src/main.cpp:167) and so do
+    we. In-process callers (tests, the wrapper) use main(), which returns
+    normally."""
+    rc = main()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    import os
+
+    os._exit(rc)
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    run()

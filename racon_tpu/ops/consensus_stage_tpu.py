@@ -154,7 +154,52 @@ class TpuConsensusStage:
             bp = padded_batch(step, None, False, 1)
             specs.add((cap, wb, bp, self.cfg.match, self.cfg.mismatch, gap,
                        walk_fmt(cap, cap, wb, False, bp)))
+        self._prewarm_specs = specs
         prewarm_tiers_async(specs)
+
+    # measured routing constants (BENCH_LEDGER r3, 2-core tunneled host):
+    # device steady-state ~750 windows/s at 4 refine passes; native host
+    # ~15 w/s per thread at ONT-like depth; a cold tier ingest on the
+    # tethered chip costs tens of seconds. All env-overridable.
+    DEV_WPS_4PASS = 750.0
+    HOST_WPS_PER_THREAD = 15.0
+    COLD_INGEST_S = 25.0
+    DISPATCH_FIXED_S = 1.0
+
+    def _route(self, n_active: int, cfg) -> str:
+        """Cheapest-path dispatch for the consensus stage (the reference
+        always runs the cheapest path available — CPU polisher unless CUDA
+        batches were requested, src/polisher.cpp:135-159; the align stage's
+        small-batch host auto-route is the same idea). Estimates device
+        cost (windows / steady wps + cold program ingest when the tiers
+        are not yet warm) vs host cost (windows / host wps) and routes a
+        small job to the native host path so a tethered chip never LOSES
+        to the host on racon's own sample-sized datasets (VERDICT r3:
+        ~54 s device vs ~9 s host on a 96-window job)."""
+        forced = os.environ.get("RACON_TPU_CONSENSUS_ROUTE", "auto")
+        if forced in ("device", "host"):
+            return forced
+        from ..native import loader
+        from ..parallel.mesh import active_mesh
+        from .nw_kernel import prewarm_done
+
+        if self.interpret or not loader.available():
+            return "device"
+        if active_mesh() is not None:
+            return "device"  # multi-chip meshes are a deliberate config
+        passes = max(1, cfg.refine_passes)
+        dev_wps = float(os.environ.get("RACON_TPU_CONS_DEV_WPS",
+                                       self.DEV_WPS_4PASS)) * 4.0 / passes
+        host_wps = float(os.environ.get(
+            "RACON_TPU_CONS_HOST_WPS",
+            self.HOST_WPS_PER_THREAD * max(1, cfg.num_threads)))
+        specs = getattr(self, "_prewarm_specs", None)
+        warm = specs is not None and prewarm_done(specs)
+        cold_s = 0.0 if warm else float(
+            os.environ.get("RACON_TPU_CONS_COLD_S", self.COLD_INGEST_S))
+        dev_est = n_active / dev_wps + cold_s + self.DISPATCH_FIXED_S
+        host_est = n_active / host_wps
+        return "host" if host_est < dev_est else "device"
 
     def consensus_windows(self, windows, cfg, logger):
         from ..core.windows import WINDOW_TYPE_TGS
@@ -180,6 +225,15 @@ class TpuConsensusStage:
                 active.append(w)
         if not active:
             return [c or b"" for c in consensus], polished
+
+        # cheapest-path dispatch: small jobs beat the chip's fixed costs
+        # on the native host path (reference: src/polisher.cpp:135-159)
+        self.routed = self._route(len(active), cfg)
+        if self.routed == "host":
+            from ..native.consensus_stage import NativeConsensusStage
+
+            return NativeConsensusStage(cfg).consensus_windows(
+                windows, cfg, logger)
 
         # ---- static per-item structure (fixed across refinement rounds):
         # items are all (window, layer) pairs grouped by window in `active`

@@ -436,6 +436,15 @@ def padded_batch(B: int, fixed_b, interpret: bool, mesh_size: int) -> int:
 
 
 _prewarmed: set = set()
+_prewarm_ready: set = set()
+
+
+def prewarm_done(specs) -> bool:
+    """Whether every spec's prewarm compile has COMPLETED (not merely been
+    started). Routing uses this as the cold/warm signal: a tier whose
+    program is already ingested dispatches at steady-state cost, anything
+    else pays the tethered chip's compile+ingest premium."""
+    return all(s in _prewarm_ready for s in specs)
 
 
 def prewarm_tiers_async(specs) -> None:
@@ -472,6 +481,8 @@ def prewarm_tiers_async(specs) -> None:
                 fn.lower(q4, q4, dcb, mm, mm, m_cap=cap, n_cap=cap,
                          w_band=band, match=match, mismatch=mismatch,
                          gap=gap).compile()
+                _prewarm_ready.add((cap, band, bp, match, mismatch, gap,
+                                    fmt))
             except Exception:
                 pass  # the real dispatch will surface any compile error
 

@@ -1,0 +1,112 @@
+"""Cheapest-path routing for the consensus stage (reference: the CPU
+polisher runs unless CUDA batches are explicitly requested,
+src/polisher.cpp:135-159). A small job on a tethered chip must route to
+the native host path instead of paying cold program ingest + dispatch
+latency; large jobs and warm processes keep the device path."""
+
+import numpy as np
+import pytest
+
+from racon_tpu.models.polish_model import PolisherConfig
+from racon_tpu.native import loader
+from racon_tpu.ops.consensus_stage_tpu import TpuConsensusStage
+from racon_tpu.ops import nw_kernel
+
+if not loader.available():
+    pytest.skip("native runtime unavailable", allow_module_level=True)
+
+
+def _stage(interpret=False):
+    cfg = PolisherConfig(backend="auto", num_threads=1)
+    st = TpuConsensusStage(cfg, interpret=interpret)
+    return st, cfg
+
+
+def test_interpret_never_routes():
+    st, cfg = _stage(interpret=True)
+    assert st._route(10, cfg) == "device"
+
+
+def test_small_cold_job_routes_host(monkeypatch):
+    monkeypatch.setattr("racon_tpu.parallel.mesh.active_mesh", lambda: None)
+    st, cfg = _stage()
+    # 96-window sample-sized job, no prewarm finished: host wins
+    assert st._route(96, cfg) == "host"
+
+
+def test_large_job_routes_device(monkeypatch):
+    monkeypatch.setattr("racon_tpu.parallel.mesh.active_mesh", lambda: None)
+    st, cfg = _stage()
+    cfg = cfg.__class__(backend="auto", num_threads=2)
+    # 20k windows: host ~11 min at 30 w/s vs device <1 min even cold
+    assert st._route(20000, cfg) == "device"
+
+
+def test_warm_small_job_routes_device(monkeypatch):
+    monkeypatch.setattr("racon_tpu.parallel.mesh.active_mesh", lambda: None)
+    st, cfg = _stage()
+    spec = ("fake", 1)
+    st._prewarm_specs = {spec}
+    monkeypatch.setattr(nw_kernel, "_prewarm_ready", {spec})
+    # warm tiers: 96 windows cost ~1.1 s on device vs ~6.4 s on host
+    assert st._route(96, cfg) == "device"
+
+
+def test_env_force_overrides(monkeypatch):
+    st, cfg = _stage()
+    monkeypatch.setenv("RACON_TPU_CONSENSUS_ROUTE", "device")
+    assert st._route(8, cfg) == "device"
+    monkeypatch.setenv("RACON_TPU_CONSENSUS_ROUTE", "host")
+    assert st._route(10**6, cfg) == "host"
+
+
+def test_forced_host_route_keeps_quality(tmp_path, monkeypatch):
+    """RACON_TPU_CONSENSUS_ROUTE=host must route end-to-end through the
+    native consensus path and polish to the same quality (the backends
+    may tie-break band edges differently — same accepted drift as the
+    reference's CPU-vs-CUDA goldens, test/racon_test.cpp:293-313 — so
+    equality is asserted on edit distance to truth, not on bytes)."""
+    from racon_tpu.polisher import create_polisher
+    from racon_tpu.utils.logger import Logger
+
+    rng = np.random.default_rng(5)
+    ACGT = list(b"ACGT")
+    true = rng.choice(ACGT, 1200).astype(np.uint8)
+    draft = true.copy()
+    for pos in rng.choice(1200, 18, replace=False):
+        draft[pos] = rng.choice(ACGT)
+    reads, paf = [], []
+    for r in range(12):
+        s = int(rng.integers(0, 250))
+        e = int(rng.integers(950, 1200))
+        read = true[s:e].copy()
+        for pos in rng.choice(len(read), len(read) // 45, replace=False):
+            read[pos] = rng.choice(ACGT)
+        name = f"read{r}".encode()
+        reads.append((name, read.tobytes()))
+        paf.append(b"\t".join([
+            name, b"%d" % len(read), b"0", b"%d" % len(read), b"+", b"ctg",
+            b"1200", b"%d" % s, b"%d" % e, b"9", b"9", b"60"]))
+    (tmp_path / "reads.fasta").write_bytes(
+        b"".join(b">" + n + b"\n" + s + b"\n" for n, s in reads))
+    (tmp_path / "ovl.paf").write_bytes(b"\n".join(paf) + b"\n")
+    (tmp_path / "draft.fasta").write_bytes(b">ctg\n" + draft.tobytes()
+                                           + b"\n")
+
+    def run():
+        cfg = PolisherConfig(backend="tpu", num_threads=1, refine_passes=2)
+        p = create_polisher(str(tmp_path / "reads.fasta"),
+                            str(tmp_path / "ovl.paf"),
+                            str(tmp_path / "draft.fasta"), cfg)
+        p.initialize()
+        return p.polish(drop_unpolished_sequences=True)
+
+    from racon_tpu.native import bindings
+
+    base = run()
+    monkeypatch.setenv("RACON_TPU_CONSENSUS_ROUTE", "host")
+    routed = run()
+    assert len(routed) == len(base) == 1
+    d_base = bindings.edit_distance(base[0][1], true.tobytes())
+    d_routed = bindings.edit_distance(routed[0][1], true.tobytes())
+    assert d_routed <= max(4, d_base + 2), (d_routed, d_base)
