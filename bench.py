@@ -411,6 +411,10 @@ def main():
     ledger["consensus_host"] = {"seconds": round(cpu_dt, 3),
                                 "windows_per_s": round(cpu_wps, 2)}
 
+    # the ledger's device blocks measure the DEVICE path by definition;
+    # without this the cheapest-path router could (correctly) send a
+    # cold-process run to the host and the ledger would measure nothing
+    os.environ.setdefault("RACON_TPU_CONSENSUS_ROUTE", "device")
     tpu = TpuConsensusStage.try_create(cfg)
     if tpu is None:
         _write_ledger(ledger)
@@ -469,6 +473,13 @@ def main():
     except Exception as e:  # pragma: no cover
         ledger["host_thread_scaling"] = {"error": str(e)}
 
+    # merge-ONLY thread scaling (no device in the replay loop)
+    try:
+        ledger["merge_thread_scaling"] = bench_merge_scaling(tpu, windows,
+                                                             cfg)
+    except Exception as e:  # pragma: no cover
+        ledger["merge_thread_scaling"] = {"error": str(e)}
+
     # device-only kernel throughput + speed-of-light accounting (real
     # chips only: the transposed kernel has no interpret mode)
     if not tpu.interpret:
@@ -495,7 +506,10 @@ def main():
     from racon_tpu.native import bindings
     d_tpu = bindings.edit_distance(b"".join(tpu_cons), true.tobytes())
     d_cpu = bindings.edit_distance(b"".join(cpu_cons), true.tobytes())
-    ledger["quality"] = {"edit_vs_truth_device": int(d_tpu),
+    ledger["quality"] = {"dataset": "bench synthetic workload "
+                         f"({windows.num_windows} windows, err={ERR}); "
+                         "golden-dataset numbers live in docs/PARITY.md",
+                         "edit_vs_truth_device": int(d_tpu),
                          "edit_vs_truth_host": int(d_cpu)}
     _write_ledger(ledger)
     sys.stderr.write(f"[bench] edit-vs-truth tpu={d_tpu} cpu={d_cpu} "
@@ -518,3 +532,56 @@ def _write_ledger(ledger):
 
 if __name__ == "__main__":
     main()
+
+
+def bench_merge_scaling(tpu, windows, cfg, reps=3):
+    """Merge-ONLY thread scaling: capture real rt_poa_round_batch calls
+    from one stage run (device in the loop only for the capture), then
+    replay JUST the native merge at 1 vs N threads. Pins whether the host
+    merge itself parallelizes or is serialized elsewhere (VERDICT r3
+    weak 1: stage-level 1->2 threads moved only +6.7% while the stage was
+    55.6% host-bound)."""
+    import inspect
+
+    from racon_tpu.native import bindings
+
+    captured = []
+    orig = bindings.poa_round_batch
+    sig = inspect.signature(orig)
+
+    def spy(*a, **k):
+        if len(captured) < 3:
+            captured.append((a, dict(k)))
+        return orig(*a, **k)
+
+    bindings.poa_round_batch = spy
+    try:
+        run_stage(tpu, windows, cfg)
+    finally:
+        bindings.poa_round_batch = orig
+    if not captured:
+        return {"error": "no merge calls captured"}
+    out = {}
+    n_win = sum(len(a[1]) - 1 for a, _ in captured)  # cur_off per call
+    for thr in (1, 2, cfg.num_threads):
+        if f"threads_{thr}" in out:
+            continue
+        calls = []
+        for a, k in captured:
+            b = sig.bind(*a, **k)
+            b.arguments["n_threads"] = thr
+            calls.append((b.args, b.kwargs))
+        best = None
+        for _ in range(reps):
+            t0 = time.monotonic()
+            for args, kwargs in calls:
+                orig(*args, **kwargs)
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        out[f"threads_{thr}"] = {
+            "seconds": round(best, 4),
+            "window_rounds_per_s": round(n_win / best, 1)}
+    t1 = out["threads_1"]["window_rounds_per_s"]
+    tN = out[f"threads_{max(2, cfg.num_threads)}"]["window_rounds_per_s"]
+    out["scaling_x"] = round(tN / t1, 3) if t1 else None
+    return out

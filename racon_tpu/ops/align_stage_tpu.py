@@ -131,12 +131,23 @@ class TpuAlignStage:
 
         # concurrent AOT compile of every tier this run will dispatch:
         # cold cost becomes max(tier ingest), not the sum (see
-        # nw_kernel.prewarm_tiers_async; single-device path only)
+        # nw_kernel.prewarm_tiers_async; single-device path only).
+        # Tiers that fit the Myers bit-parallel kernel ride it (the
+        # edit-distance align stage is its exact domain — ~1-2 ops/cell
+        # vs the scored sweep's ~45-60); the rest keep the scored path.
+        from .myers_kernel import align_walk_myers_padded, myers_fits
+        from ..parallel.mesh import active_mesh
+
+        single_dev = active_mesh() is None
+
+        def _tier_myers(cap, band):
+            return (not self.interpret and single_dev
+                    and myers_fits(cap, cap, band))
+
         if not self.interpret:
-            from ..parallel.mesh import active_mesh
             from .nw_kernel import (padded_batch, prewarm_tiers_async,
                                     walk_fmt)
-            if active_mesh() is None:
+            if single_dev:
                 specs = set()
                 for ti, (cap, band) in enumerate(tiers):
                     k = int((tier_id == ti).sum())
@@ -146,8 +157,9 @@ class TpuAlignStage:
                     fixed_b = step if cap >= 5120 else None
                     for b in {min(step, k - c0) for c0 in range(0, k, step)}:
                         bp = padded_batch(b, fixed_b, False, 1)
-                        specs.add((cap, band, bp, 0, -1, -1,
-                                   walk_fmt(cap, cap, band, False, bp)))
+                        fmt = ("myers" if _tier_myers(cap, band)
+                               else walk_fmt(cap, cap, band, False, bp))
+                        specs.add((cap, band, bp, 0, -1, -1, fmt))
                 prewarm_tiers_async(specs)
 
         all_ops: list[np.ndarray | None] = [None] * len(indices)
@@ -223,16 +235,25 @@ class TpuAlignStage:
                 t4 = bindings.pack_rows_nib(tenc, toff_all[sel],
                                             toff_all[sel] + nlen[sel], cap,
                                             PAD_CODE, thr)
-                # unit deletion costs everywhere: an all-ones bitmask
-                dcb = np.full((len(sel), cap // 8), 0xFF, np.uint8)
-                payload, _, fmt = align_walk_padded(
-                    q4, t4, dcb, mlen[sel].astype(np.int32),
-                    nlen[sel].astype(np.int32), m_cap=cap, n_cap=cap,
-                    w_band=band, match=0, mismatch=-1, gap=-1,
-                    interpret=self.interpret,
-                    # one compiled shape per big tier: a fresh big-tier
-                    # compile costs minutes, padding a short chunk does not
-                    fixed_b=step if cap >= 5120 else None, prepacked=True)
+                if _tier_myers(cap, band):
+                    payload, _, fmt = align_walk_myers_padded(
+                        q4, t4, mlen[sel].astype(np.int32),
+                        nlen[sel].astype(np.int32), m_cap=cap, n_cap=cap,
+                        w_band=band,
+                        fixed_b=step if cap >= 5120 else None)
+                else:
+                    # unit deletion costs everywhere: an all-ones bitmask
+                    dcb = np.full((len(sel), cap // 8), 0xFF, np.uint8)
+                    payload, _, fmt = align_walk_padded(
+                        q4, t4, dcb, mlen[sel].astype(np.int32),
+                        nlen[sel].astype(np.int32), m_cap=cap, n_cap=cap,
+                        w_band=band, match=0, mismatch=-1, gap=-1,
+                        interpret=self.interpret,
+                        # one compiled shape per big tier: a fresh big-tier
+                        # compile costs minutes, padding a short chunk
+                        # does not
+                        fixed_b=step if cap >= 5120 else None,
+                        prepacked=True)
                 if hasattr(payload, "copy_to_host_async"):
                     payload.copy_to_host_async()  # overlap D2H with compute
                 pending.append((sel, cap, band, fmt, payload, hbm))

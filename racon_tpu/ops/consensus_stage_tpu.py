@@ -274,7 +274,10 @@ class TpuConsensusStage:
                 break
         else:
             cap = _round_up(needed, 1024)
-        if self.interpret:  # keep interpreted tests fast
+        if (self.interpret  # keep interpreted tests fast...
+                # ...but let the multichip dry run exercise the REAL tier
+                # shapes (640/128 etc.) on the virtual mesh
+                and os.environ.get("RACON_TPU_INTERPRET_FULLCAP") != "1"):
             cap = min(cap, 256)
         max_expand = cap
 

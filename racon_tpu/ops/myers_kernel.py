@@ -91,8 +91,10 @@ def build_peq_T(tT_codes, n_cap: int, w_band: int):
 
 
 def _lsr(x, s):
-    """Logical shift right on int32."""
-    return jax.lax.shift_right_logical(x, jnp.asarray(s, x.dtype))
+    """Logical shift right on int32 (s: python int, traced scalar, or
+    matching array — broadcast explicitly for Mosaic)."""
+    s = jnp.broadcast_to(jnp.asarray(s, x.dtype), x.shape)
+    return jax.lax.shift_right_logical(x, s)
 
 
 def _mask_ge(pos, nw: int, B: int):
@@ -187,6 +189,33 @@ def _hibit(x):
     return r
 
 
+def _myers_row_step(eq, PV, MV, kz, roll_down):
+    """One Myers row on sanitized word vectors (nw, B). Returns
+    (diag_plane, up_plane, PVn, MVn) in THIS row's band coordinates
+    (callers band-shift + sanitize for the next row)."""
+    nw, B = eq.shape
+    X = eq | MV
+    XP = X & PV
+    S = _add_carry(XP, PV, roll_down)
+    D0 = (S ^ PV) | X
+    HN = PV & D0
+    HP = MV | ~(PV | D0)
+    oh = _onehot(kz, nw, B)  # j = 0 boundary column: vertical delta +1
+    HP = HP | oh
+    HN = HN & ~oh
+    X2 = _shl1(HP, roll_down)
+    PVn = _shl1(HN, roll_down) | ~(D0 | X2)
+    MVn = D0 & X2
+    return eq | ~D0, HP, PVn, MVn
+
+
+def _sanitize(PV, MV, eq, kz, nw: int, B: int):
+    """Zero every bit at or below the j = 0 boundary lane so the add's
+    carry chain enters the valid region with carry-in 0."""
+    keep = _mask_ge(kz + 1, nw, B)
+    return PV & keep, MV & keep, eq & keep
+
+
 # --------------------------- jnp reference ---------------------------- #
 
 
@@ -234,24 +263,8 @@ def myers_sweep_ref(qT_codes, peqT, *, m_cap, n_cap, w_band):
         for c in range(NW_CODES):
             win = _funnel_window(peq[c], pos0, nw)
             eq = eq | jnp.where(qi == c, win, 0)
-        # boundary sanitize: bits <= kz of the state are zero
-        keep = _mask_ge(kz + 1, nw, B)
-        PV = PV & keep
-        MV = MV & keep
-        eq = eq & keep
-        X = eq | MV
-        XP = X & PV
-        S = _add_carry(XP, PV, _roll_down_jnp)
-        D0 = (S ^ PV) | X
-        HN = PV & D0
-        HP = MV | ~(PV | D0)
-        oh = _onehot(kz, nw, B)
-        HP = HP | oh
-        HN = HN & ~oh
-        X2 = _shl1(HP, _roll_down_jnp)
-        PVn = _shl1(HN, _roll_down_jnp) | ~(D0 | X2)
-        MVn = D0 & X2
-        diag = eq | ~D0
+        PV, MV, eq = _sanitize(PV, MV, eq, kz, nw, B)
+        diag, HP, PVn, MVn = _myers_row_step(eq, PV, MV, kz, _roll_down_jnp)
         planes = jnp.stack([diag, HP], axis=0)  # (2, nw, B)
         PV2 = _shr1(PVn, _roll_up_jnp, 1)
         MV2 = _shr1(MVn, _roll_up_jnp, 0)
@@ -313,8 +326,10 @@ def _walk_row_words(diag, up, kvec, esc, active, nw: int, B: int):
     cand = jnp.where(nzw, w32 + hib, -1)
     k_exit = jnp.max(cand, axis=0, keepdims=True)  # (1, B)
     ohx = _onehot(k_exit, nw, B)
-    diag_hit = jnp.any((diag & ohx) != 0, axis=0, keepdims=True)
-    up_hit = jnp.any((up & ohx) != 0, axis=0, keepdims=True)
+    # single-bit selects: sum over words isolates the one hit word (the
+    # bit may be bit 31, so nonzero-test rather than max)
+    diag_hit = jnp.sum(diag & ohx, axis=0, keepdims=True) != 0
+    up_hit = jnp.sum(up & ohx, axis=0, keepdims=True) != 0
     nleft = kvec - k_exit
     bad = (~inband) | (k_exit < 0) | (nleft > 63)
     esc = esc | (active * bad.astype(jnp.int32))
@@ -339,3 +354,288 @@ def align_walk_myers_ref(qT_codes, tT_codes, m, n, *, m_cap, n_cap, w_band):
                                   w_band=w_band)
     score = jnp.zeros((qT_codes.shape[1], 1), jnp.int32)
     return payload, score
+
+
+# ---------------------------- pallas kernels --------------------------- #
+
+
+def sweep_rows_g(m_cap: int, w_band: int) -> int:
+    """Query rows per sweep grid step: sized so the per-group plane
+    block (rows_g * W/4 bytes per lane-item... rows_g * 2nw words) stays
+    ~2 MB, and divides m_cap."""
+    r = max(8, min(128, (2 << 20) // (w_band * 32)))
+    while m_cap % r:
+        r //= 2
+    return max(r, 1)
+
+
+def myers_fits(m_cap: int, n_cap: int, w_band: int) -> bool:
+    """Eligibility of the Myers align path: equal caps (the align-stage
+    contract), the t8 dlo regime, W a multiple of 32, and a VMEM model
+    under the Mosaic scoped budget (double-buffered blocks + scratch +
+    live temporaries). Oversized tiers keep the scored sweep."""
+    import os
+
+    if os.environ.get("RACON_TPU_MYERS", "1") == "0":
+        return False
+    if m_cap != n_cap or w_band % 32 or m_cap % 32:
+        return False
+    if band_dlo(m_cap, n_cap, w_band) > 0:
+        return False
+    nw = w_band // 32
+    nwp = peq_words(n_cap, w_band)
+    per_lane = 4 * B_LANE
+    rg = sweep_rows_g(m_cap, w_band)
+    if m_cap % rg:
+        return False
+    q = rg * per_lane
+    peq = NW_CODES * nwp * per_lane
+    planes_blk = rg * 2 * nw * per_lane
+    temps = 16 * nw * per_lane
+    sweep = 2 * (q + peq + planes_blk) + 2 * nw * per_lane + temps
+    rec = (m_cap // 4) * per_lane
+    walk = 2 * planes_blk + rec + temps + 8 * per_lane
+    return max(sweep, walk) <= (12 << 20)
+
+
+def _roll_down_tpu(a):
+    widx = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+    r = pltpu.roll(a, 1, 0)
+    return jnp.where(widx == 0, 0, r)
+
+
+def _roll_up_tpu(a):
+    nw = a.shape[0]
+    widx = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+    r = pltpu.roll(a, nw - 1, 0)
+    return jnp.where(widx == nw - 1, 0, r)
+
+
+def _myers_sweep_kernel(q_ref, peq_ref, planes_ref, pvscr, mvscr, *,
+                        m_cap, n_cap, w_band, rows_g):
+    """q (rows_g, BT) int32 codes of this group's rows; peq
+    (NW_CODES * peq_words, BT) int32 full Peq panel; planes
+    (1, rows_g * 2 * nw, BT) int32 output block: per local row r, words
+    [r*2nw, r*2nw+nw) = DIAG, next nw = UP. pv/mv scratch carry the
+    band-shifted state across groups."""
+    W = w_band
+    nw = W // 32
+    BT = q_ref.shape[1]
+    dlo = band_dlo(m_cap, n_cap, W)
+    gd = guard_bits(W)
+    nwp = peq_words(n_cap, W)
+    g = pl.program_id(1)
+
+    @pl.when(g == 0)
+    def _():
+        pvscr[...] = _mask_ge(-(1 + dlo) + 1, nw, BT)
+        mvscr[...] = jnp.zeros((nw, BT), jnp.int32)
+
+    def body(r, carry):
+        PV, MV = carry
+        i = g * rows_g + r + 1
+        kz = -(i + dlo)
+        pos0 = i + dlo - 1 + gd
+        w0 = pos0 >> 5
+        rsh = pos0 & 31
+        qi = q_ref[pl.ds(r, 1), :]
+        eq = jnp.zeros((nw, BT), jnp.int32)
+        for c in range(NW_CODES):
+            win = peq_ref[pl.ds(c * nwp + w0, nw + 1), :]
+            lo = jax.lax.slice(win, (0, 0), (nw, BT))
+            hi = jax.lax.slice(win, (1, 0), (nw + 1, BT))
+            wv = jnp.where(rsh == 0, lo,
+                           _lsr(lo, rsh) | (hi << ((32 - rsh) & 31)))
+            eq = eq | jnp.where(qi == c, wv, 0)
+        PV, MV, eq = _sanitize(PV, MV, eq, kz, nw, BT)
+        diag, hp, PVn, MVn = _myers_row_step(eq, PV, MV, kz, _roll_down_tpu)
+        planes_ref[0, pl.ds(r * 2 * nw, nw), :] = diag
+        planes_ref[0, pl.ds(r * 2 * nw + nw, nw), :] = hp
+        PV2 = _shr1(PVn, _roll_up_tpu, 1)
+        MV2 = _shr1(MVn, _roll_up_tpu, 0)
+        return PV2, MV2
+
+    pv, mv = jax.lax.fori_loop(0, rows_g, body, (pvscr[...], mvscr[...]))
+    pvscr[...] = pv
+    mvscr[...] = mv
+
+
+def myers_sweep_t(qT, peqT, *, m_cap, n_cap, w_band, interpret=False):
+    """qT (m_cap, B) int32 codes, peqT (NW_CODES * peq_words, B) int32.
+    Returns planes (m_cap // rows_g, rows_g * 2 * nw, B) int32."""
+    B = qT.shape[1]
+    W = w_band
+    nw = W // 32
+    rg = sweep_rows_g(m_cap, W)
+    assert B % B_LANE == 0 and m_cap % rg == 0
+    nwp = peq_words(n_cap, W)
+    kernel = functools.partial(_myers_sweep_kernel, m_cap=m_cap,
+                               n_cap=n_cap, w_band=W, rows_g=rg)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // B_LANE, m_cap // rg),
+        out_shape=jax.ShapeDtypeStruct((m_cap // rg, rg * 2 * nw, B),
+                                       jnp.int32),
+        in_specs=[
+            pl.BlockSpec((rg, B_LANE), lambda b, g: (g, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NW_CODES * nwp, B_LANE), lambda b, g: (0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rg * 2 * nw, B_LANE),
+                               lambda b, g: (g, 0, b),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((nw, B_LANE), jnp.int32),
+            pltpu.VMEM((nw, B_LANE), jnp.int32),
+        ],
+        interpret=interpret,
+    )(qT, peqT)
+
+
+def _myers_walk_kernel(m_ref, n_ref, planes_ref, rec_ref, fin_ref, kscr,
+                       escscr, *, m_cap, n_cap, w_band, rows_g):
+    """Backward word-wise walk over the sweep's plane blocks. Grid
+    (B//B_LANE, groups) with the group index REVERSED (top rows first);
+    rec_ref is the whole (m_cap//4, BT) packed record block; fin_ref rows
+    0-1 hold [final deletions, escape]."""
+    W = w_band
+    nw = W // 32
+    BT = m_ref.shape[1]
+    dlo = band_dlo(m_cap, n_cap, W)
+    n_groups = m_cap // rows_g
+    s = pl.program_id(1)
+    g = n_groups - 1 - s
+
+    @pl.when(s == 0)
+    def _():
+        kscr[...] = n_ref[...] - m_ref[...] - dlo
+        escscr[...] = jnp.zeros_like(escscr)
+
+    m = m_ref[...]
+
+    def word_body(t, carry):
+        kvec, esc = carry
+        wg = rows_g // 4 - 1 - t
+        word = jnp.zeros((1, BT), jnp.int32)
+        for u in range(3, -1, -1):
+            rl = 4 * wg + u
+            i = g * rows_g + rl + 1
+            kz = -(i + dlo)
+            diag = planes_ref[0, pl.ds(rl * 2 * nw, nw), :]
+            up = planes_ref[0, pl.ds(rl * 2 * nw + nw, nw), :]
+            oh = _onehot(kz, nw, BT)
+            diag = diag & ~oh
+            up = up | oh
+            active = (i <= m).astype(jnp.int32) * (1 - esc)
+            rec, kvec, esc = _walk_row_words(diag, up, kvec, esc, active,
+                                             nw, BT)
+            word = word | (rec << (8 * u))
+        rec_ref[pl.ds(g * (rows_g // 4) + wg, 1), :] = word
+        return kvec, esc
+
+    kvec, esc = jax.lax.fori_loop(0, rows_g // 4, word_body,
+                                  (kscr[...], escscr[...]))
+    kscr[...] = kvec
+    escscr[...] = esc
+
+    @pl.when(s == n_groups - 1)
+    def _():
+        jfin = dlo + kvec
+        esc2 = esc | ((jfin < 0) | (jfin > 255)).astype(jnp.int32)
+        fin_ref[pl.ds(0, 1), :] = jnp.clip(jfin, 0, 255)
+        fin_ref[pl.ds(1, 1), :] = esc2
+
+
+def myers_walk_t(planes, m, n, *, m_cap, n_cap, w_band, interpret=False):
+    """planes from myers_sweep_t. Returns (payload (B, m_cap + 2) uint8,
+    escaped (B,) bool) — the exact walk_rows_t payload format, decoded by
+    bindings.opstream_rows_to_ops_batch."""
+    B = planes.shape[2]
+    W = w_band
+    rg = sweep_rows_g(m_cap, W)
+    assert B % B_LANE == 0 and rg % 4 == 0 and m_cap % rg == 0
+    n_groups = m_cap // rg
+    m2 = m.reshape(1, B).astype(jnp.int32)
+    n2 = n.reshape(1, B).astype(jnp.int32)
+    kernel = functools.partial(_myers_walk_kernel, m_cap=m_cap, n_cap=n_cap,
+                               w_band=W, rows_g=rg)
+    rec32, fin = pl.pallas_call(
+        kernel,
+        grid=(B // B_LANE, n_groups),
+        out_shape=(
+            jax.ShapeDtypeStruct((m_cap // 4, B), jnp.int32),
+            jax.ShapeDtypeStruct((8, B), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec((1, B_LANE), lambda b, s: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B_LANE), lambda b, s: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, planes.shape[1], B_LANE),
+                         lambda b, s, n_groups=n_groups: (n_groups - 1 - s,
+                                                          0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((m_cap // 4, B_LANE), lambda b, s: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, B_LANE), lambda b, s: (0, b),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, B_LANE), jnp.int32),
+            pltpu.VMEM((1, B_LANE), jnp.int32),
+        ],
+        interpret=interpret,
+    )(m2, n2, planes)
+    rec8 = jax.lax.bitcast_convert_type(rec32.T, jnp.uint8).reshape(B, m_cap)
+    fin8 = jnp.clip(fin[:2].T, 0, 255).astype(jnp.uint8)
+    payload = jnp.concatenate([rec8, fin8], axis=1)
+    return payload, fin[1].astype(bool)
+
+
+@functools.partial(jax.jit, static_argnames=("m_cap", "n_cap", "w_band",
+                                             "interpret"))
+def align_walk_myers_batch(q4, t4, m, n, *, m_cap, n_cap, w_band,
+                           interpret=False):
+    """Fused Myers align+walk for the (0,-1,-1) align stage: q4/t4
+    (B, CAP//2) uint8 nibble-packed codes (pack_codes4 layout), m/n (B,)
+    int32 real lengths. Returns (payload (B, m_cap + 2) uint8 in the
+    walk_rows_t format incl. the escape column, score zeros (B, 1) —
+    the align stage discards scores, reference src/overlap.cpp:205-224
+    only consumes the CIGAR)."""
+    from .nw_kernel import _expand_nib_T
+
+    qT = _expand_nib_T(q4.T, m_cap).astype(jnp.int32)
+    tT = _expand_nib_T(t4.T, n_cap).astype(jnp.int32)
+    peq = build_peq_T(tT, n_cap, w_band)
+    planes = myers_sweep_t(qT, peq, m_cap=m_cap, n_cap=n_cap, w_band=w_band,
+                           interpret=interpret)
+    payload, _esc = myers_walk_t(planes, m, n, m_cap=m_cap, n_cap=n_cap,
+                                 w_band=w_band, interpret=interpret)
+    score = jnp.zeros((q4.shape[0], 1), jnp.int32)
+    return payload, score
+
+
+def align_walk_myers_padded(q4, t4, m, n, *, m_cap, n_cap, w_band,
+                            fixed_b=None):
+    """Batch-size-canonicalizing wrapper (align_walk_padded's padding
+    policy, single-device): pads the nibble-packed batch to the canonical
+    size with all-PAD items and dispatches the fused Myers align+walk.
+    Returns (payload, score, "rows") — the payload is walk_rows_t-format,
+    decoded by the align stage's existing "rows" drain branch."""
+    from .nw_kernel import padded_batch
+
+    B = q4.shape[0]
+    bp = padded_batch(B, fixed_b, False, 1)
+    if bp != B:
+        pad = bp - B
+        q4 = np.pad(q4, ((0, pad), (0, 0)), constant_values=0x55)
+        t4 = np.pad(t4, ((0, pad), (0, 0)), constant_values=0x55)
+        m = np.pad(np.asarray(m), (0, pad))
+        n = np.pad(np.asarray(n), (0, pad))
+    payload, score = align_walk_myers_batch(
+        q4, t4, np.asarray(m, np.int32), np.asarray(n, np.int32),
+        m_cap=m_cap, n_cap=n_cap, w_band=w_band)
+    return payload, score, "rows"

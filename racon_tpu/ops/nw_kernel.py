@@ -476,11 +476,19 @@ def prewarm_tiers_async(specs) -> None:
                 q4 = _jax.ShapeDtypeStruct((bp, cap // 2), jnp.uint8)
                 dcb = _jax.ShapeDtypeStruct((bp, cap // 8), jnp.uint8)
                 mm = _jax.ShapeDtypeStruct((bp,), jnp.int32)
-                fn = {"rows": align_walk_rows_batch,
-                      "rle": align_walk_rle_batch}.get(fmt, align_walk_batch)
-                fn.lower(q4, q4, dcb, mm, mm, m_cap=cap, n_cap=cap,
-                         w_band=band, match=match, mismatch=mismatch,
-                         gap=gap).compile()
+                if fmt == "myers":
+                    from .myers_kernel import align_walk_myers_batch
+
+                    align_walk_myers_batch.lower(
+                        q4, q4, mm, mm, m_cap=cap, n_cap=cap,
+                        w_band=band).compile()
+                else:
+                    fn = {"rows": align_walk_rows_batch,
+                          "rle": align_walk_rle_batch}.get(
+                              fmt, align_walk_batch)
+                    fn.lower(q4, q4, dcb, mm, mm, m_cap=cap, n_cap=cap,
+                             w_band=band, match=match, mismatch=mismatch,
+                             gap=gap).compile()
                 _prewarm_ready.add((cap, band, bp, match, mismatch, gap,
                                     fmt))
             except Exception:

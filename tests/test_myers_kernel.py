@@ -156,3 +156,27 @@ def test_unequal_caps_rejected_only_when_dlo_positive():
     from racon_tpu.ops.nw_kernel import band_dlo
 
     assert band_dlo(128, 128, 64) <= 0
+
+
+def test_pallas_kernels_match_ref_interpret():
+    """Pallas sweep + walk (interpret mode) must produce byte-identical
+    payloads to the jnp reference on a B_LANE batch."""
+    from racon_tpu.ops.myers_kernel import (align_walk_myers_batch,
+                                            align_walk_myers_ref)
+    from racon_tpu.ops.nw_kernel import pack_codes4
+
+    rng = np.random.default_rng(61)
+    pairs = []
+    for _ in range(128):
+        tlen = int(rng.integers(8, 128))
+        t = rng.choice(ACGT, tlen)
+        q = _mutate(rng, t, int(rng.integers(0, tlen // 3 + 1)))[:128]
+        pairs.append((q, t))
+    q8, t8, m, n = _panels(pairs, 128, 128)
+    p_ref, _ = align_walk_myers_ref(
+        q8.astype(np.int32).T, t8.astype(np.int32).T, m, n,
+        m_cap=128, n_cap=128, w_band=64)
+    p_ker, _ = align_walk_myers_batch(
+        pack_codes4(q8), pack_codes4(t8), m, n,
+        m_cap=128, n_cap=128, w_band=64, interpret=True)
+    assert np.array_equal(np.asarray(p_ref), np.asarray(p_ker))
