@@ -57,13 +57,27 @@ class TpuAlignStage:
             return cls(cfg, interpret=True)
         return None
 
-    # below this many overlaps the device path's fixed costs (program
-    # load check, packing, dispatch+fetch latency) beat its throughput
-    # edge: BENCH_LEDGER r3 measured host 74.7 vs device 73.1 overlaps/s
-    # at N=181 but device 376 vs host 141 at N=7,780. Auto-route small
-    # batches to the native host aligner (the reference's own
-    # heterogeneous-fallback philosophy, src/cuda/cudapolisher.cpp:204).
+    # below this many overlaps a COLD device path's fixed costs (program
+    # compile/ingest, packing, dispatch+fetch latency) beat its
+    # throughput edge; a WARM chip with the Myers align programs loaded
+    # wins at any batch size (r4: device 1918 vs host 163 o/s at ava
+    # scale; kernel device time ~2 ms per 512-item dispatch). So small
+    # batches route to the native host aligner only while the align
+    # programs are not yet ready (the reference's heterogeneous-fallback
+    # philosophy, src/cuda/cudapolisher.cpp:204).
     DEVICE_MIN_OVERLAPS = 512
+
+    def small_batch_to_host(self, n_overlaps: int) -> bool:
+        import os
+
+        dev_min = int(os.environ.get("RACON_TPU_ALIGN_DEVICE_MIN",
+                                     self.DEVICE_MIN_OVERLAPS))
+        if self.interpret or n_overlaps >= dev_min:
+            return False
+        from .nw_kernel import _prewarm_ready
+
+        warm = any(s[3:6] == (0, -1, -1) for s in _prewarm_ready)
+        return not warm
 
     def breaking_points(self, overlaps, indices, sequences, window_length,
                         logger) -> list[np.ndarray]:
@@ -71,9 +85,7 @@ class TpuAlignStage:
 
         import os
 
-        dev_min = int(os.environ.get("RACON_TPU_ALIGN_DEVICE_MIN",
-                                     self.DEVICE_MIN_OVERLAPS))
-        if len(indices) < dev_min and not self.interpret:
+        if self.small_batch_to_host(len(indices)):
             from ..native.align_stage import NativeAlignStage
             from ..native import loader
             if loader.available():
@@ -141,8 +153,9 @@ class TpuAlignStage:
         single_dev = active_mesh() is None
 
         def _tier_myers(cap, band):
-            return (not self.interpret and single_dev
-                    and myers_fits(cap, cap, band))
+            # real chips only; mesh dispatches shard the myers kernel
+            # per chip (parallel/mesh.py fmt="myers")
+            return not self.interpret and myers_fits(cap, cap, band)
 
         if not self.interpret:
             from .nw_kernel import (padded_batch, prewarm_tiers_async,

@@ -619,23 +619,37 @@ def align_walk_myers_batch(q4, t4, m, n, *, m_cap, n_cap, w_band,
 
 
 def align_walk_myers_padded(q4, t4, m, n, *, m_cap, n_cap, w_band,
-                            fixed_b=None):
+                            fixed_b=None, interpret=False):
     """Batch-size-canonicalizing wrapper (align_walk_padded's padding
-    policy, single-device): pads the nibble-packed batch to the canonical
-    size with all-PAD items and dispatches the fused Myers align+walk.
-    Returns (payload, score, "rows") — the payload is walk_rows_t-format,
-    decoded by the align stage's existing "rows" drain branch."""
+    policy): pads the nibble-packed batch to the canonical size with
+    all-PAD items and dispatches the fused Myers align+walk — sharded
+    over the active mesh when one exists (parallel/mesh.py, fmt
+    "myers"), single-device otherwise. Returns (payload, score, "rows")
+    — the payload is walk_rows_t-format, decoded by the align stage's
+    existing "rows" drain branch."""
     from .nw_kernel import padded_batch
+    from ..parallel.mesh import active_mesh, sharded_align_walk
 
     B = q4.shape[0]
-    bp = padded_batch(B, fixed_b, False, 1)
+    mesh = active_mesh()
+    bp = padded_batch(B, fixed_b, interpret,
+                      mesh.devices.size if mesh is not None else 1)
     if bp != B:
         pad = bp - B
         q4 = np.pad(q4, ((0, pad), (0, 0)), constant_values=0x55)
         t4 = np.pad(t4, ((0, pad), (0, 0)), constant_values=0x55)
         m = np.pad(np.asarray(m), (0, pad))
         n = np.pad(np.asarray(n), (0, pad))
+    m = np.asarray(m, np.int32)
+    n = np.asarray(n, np.int32)
+    if mesh is not None:
+        dcb = np.full((bp, m_cap // 8), 0xFF, np.uint8)  # sharded filler
+        payload, score = sharded_align_walk(
+            mesh, q4, t4, dcb, m, n, m_cap=m_cap, n_cap=n_cap,
+            w_band=w_band, match=0, mismatch=-1, gap=-1,
+            interpret=interpret, fmt="myers")
+        return payload, score, "rows"
     payload, score = align_walk_myers_batch(
-        q4, t4, np.asarray(m, np.int32), np.asarray(n, np.int32),
-        m_cap=m_cap, n_cap=n_cap, w_band=w_band)
+        q4, t4, m, n, m_cap=m_cap, n_cap=n_cap, w_band=w_band,
+        interpret=interpret)
     return payload, score, "rows"

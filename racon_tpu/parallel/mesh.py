@@ -158,6 +158,24 @@ def sharded_align_walk(mesh: Mesh, q4, t4, dcb, m, n, *, m_cap, n_cap,
                         and q4s.shape[0] % B_LANE == 0)
             big = (not interpret and t_big_fits(m_cap, n_cap, w_band)
                    and q4s.shape[0] % B_LANE == 0)
+            if fmt == "myers":
+                # edit-distance align tiers: the Myers bit-parallel
+                # kernel per shard (dcbs unused — uniform unit deletion
+                # costs are the eligibility contract). CPU mesh shards
+                # run the jnp twin (interpret-mode pallas deadlocks
+                # under SPMD).
+                kwm = dict(m_cap=m_cap, n_cap=n_cap, w_band=w_band)
+                if interpret:
+                    from ..ops.myers_kernel import align_walk_myers_ref
+                    from ..ops.nw_kernel import _expand_nib_T
+                    import jax.numpy as jnp
+
+                    qT = _expand_nib_T(q4s.T, m_cap).astype(jnp.int32)
+                    tT = _expand_nib_T(t4s.T, n_cap).astype(jnp.int32)
+                    return align_walk_myers_ref(qT, tT, ms, ns, **kwm)
+                from ..ops.myers_kernel import align_walk_myers_batch
+
+                return align_walk_myers_batch(q4s, t4s, ms, ns, **kwm)
             if fmt == "rows":
                 assert eligible or big, ("rows payloads need a transposed "
                                          "kernel")

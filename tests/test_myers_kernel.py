@@ -180,3 +180,36 @@ def test_pallas_kernels_match_ref_interpret():
         pack_codes4(q8), pack_codes4(t8), m, n,
         m_cap=128, n_cap=128, w_band=64, interpret=True)
     assert np.array_equal(np.asarray(p_ref), np.asarray(p_ker))
+
+
+def test_mesh_sharded_myers_matches_single():
+    """fmt="myers" through sharded_align_walk on the 8-device CPU mesh
+    (jnp twin per shard) must produce the same payload bytes as the
+    single-device reference."""
+    import jax
+
+    from racon_tpu.ops.myers_kernel import align_walk_myers_ref
+    from racon_tpu.ops.nw_kernel import pack_codes4, pack_delbits
+    from racon_tpu.parallel.mesh import sharded_align_walk, window_mesh
+
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    mesh = window_mesh(devs[:8])
+    rng = np.random.default_rng(67)
+    pairs = []
+    for _ in range(64):
+        tlen = int(rng.integers(16, 128))
+        t = rng.choice(ACGT, tlen)
+        q = _mutate(rng, t, int(rng.integers(0, tlen // 4 + 1)))[:128]
+        pairs.append((q, t))
+    q8, t8, m, n = _panels(pairs, 128, 128)
+    q4, t4 = pack_codes4(q8), pack_codes4(t8)
+    dcb = pack_delbits(np.full((64, 128), -1, np.int8))
+    payload, score = sharded_align_walk(
+        mesh, q4, t4, dcb, m, n, m_cap=128, n_cap=128, w_band=64,
+        match=0, mismatch=-1, gap=-1, interpret=True, fmt="myers")
+    p_ref, _ = align_walk_myers_ref(
+        q8.astype(np.int32).T, t8.astype(np.int32).T, m, n,
+        m_cap=128, n_cap=128, w_band=64)
+    assert np.array_equal(np.asarray(payload), np.asarray(p_ref))
