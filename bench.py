@@ -406,7 +406,15 @@ def bench_merge_scaling(tpu, windows, cfg, reps=3):
 
     def spy(*a, **k):
         if len(captured) < 3:
-            captured.append((a, dict(k)))
+            # deep-copy: the stage reuses/mutates its blobs across rounds
+            # (in-place decode buffers), so replaying aliased views reads
+            # inconsistent data (segfault in the native merge)
+            snap_a = tuple(np.array(x, copy=True)
+                           if isinstance(x, np.ndarray) else x for x in a)
+            snap_k = {kk: (np.array(v, copy=True)
+                           if isinstance(v, np.ndarray) else v)
+                      for kk, v in k.items()}
+            captured.append((snap_a, snap_k))
         return orig(*a, **k)
 
     bindings.poa_round_batch = spy
