@@ -79,6 +79,31 @@ class TpuAlignStage:
         warm = any(s[3:6] == (0, -1, -1) for s in _prewarm_ready)
         return not warm
 
+    def prewarm_default(self) -> None:
+        """Speculative AOT warm-up of the two most common align tiers
+        (cap 2560/band 512 and 10240/1024 cover reads up to ~10 kb — the
+        ONT/PacBio norm) so a one-shot run's align programs load during
+        PARSING rather than at the first align dispatch. Costs only
+        background compile threads; tiers an actual run needs beyond
+        these warm in breaking_points as before."""
+        if self.interpret:
+            return
+        from ..parallel.mesh import active_mesh
+        from .myers_kernel import myers_fits
+        from .nw_kernel import padded_batch, prewarm_tiers_async, walk_fmt
+
+        if active_mesh() is not None:
+            return
+        specs = set()
+        for cap, band in ((2560, 512), (10240, 1024)):
+            step = _chunk_size(cap, band)
+            fixed_b = step if cap >= 5120 else None
+            bp = padded_batch(step, fixed_b, False, 1)
+            fmt = ("myers" if myers_fits(cap, cap, band)
+                   else walk_fmt(cap, cap, band, False, bp))
+            specs.add((cap, band, bp, 0, -1, -1, fmt))
+        prewarm_tiers_async(specs)
+
     def breaking_points(self, overlaps, indices, sequences, window_length,
                         logger) -> list[np.ndarray]:
         from ..native import bindings

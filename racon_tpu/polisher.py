@@ -89,11 +89,14 @@ class Polisher:
 
         def _kick_prewarm():
             try:
-                from .backends import get_consensus_stage
+                from .backends import get_align_stage, get_consensus_stage
 
                 cstage = get_consensus_stage(cfg)
                 if hasattr(cstage, "prewarm_for"):
                     cstage.prewarm_for(cfg.window_length)
+                astage = get_align_stage(cfg)
+                if hasattr(astage, "prewarm_default"):
+                    astage.prewarm_default()
             except Exception:
                 pass
 
