@@ -20,11 +20,14 @@ from .nw_kernel import (align_walk_padded, encode, rle_events, walk_steps,
 
 # canonical (cap, band) tiers; items beyond the last tier go to the host.
 # Few tiers on purpose: every distinct compiled shape costs ~2s of
-# executable load per process on a tethered chip. The 1024-band long tiers
-# ride the transposed big-tier kernel (nw_kernel.t_big_fits caps the fast
-# path at W=1024 — Mosaic's 16 MB scoped-vmem stack); the 4096-band tiers
-# catch high-drift overlaps (error-threshold 0.3 allows |qspan-tspan| up
-# to 30%) on the lane-major kernel rather than the serial host aligner.
+# executable load per process on a tethered chip. Every tier is
+# Myers-eligible since the sweep's Peq panels became pre-windowed per
+# grid step (myers_kernel.build_peq_win_T), so the whole ladder runs the
+# bit-parallel kernel; the scored sweeps (t8big for the 1024-band long
+# tiers, lane-major for 4096-band) remain as the RACON_TPU_MYERS=0
+# fallback and the identity oracle. The 4096-band tiers catch high-drift
+# overlaps (error-threshold 0.3 allows |qspan-tspan| up to 30%) that
+# would otherwise hit the serial host aligner.
 _TIERS = ((2560, 512), (10240, 1024), (40960, 1024), (10240, 4096),
           (40960, 4096))
 def _chunk_size(cap: int, band: int) -> int:

@@ -86,6 +86,38 @@ def build_peq_T(tT_codes, n_cap: int, w_band: int):
         NW_CODES * nwp, B)
 
 
+def peq_win_words(w_band: int, rg: int) -> int:
+    """Words of Peq one sweep grid step (rg query rows) actually reads:
+    the nw + 1 funnel words of the last row start at most
+    ceil((rg - 1) / 32) words above the first row's base word."""
+    return w_band // 32 + (rg + 30) // 32 + 1
+
+
+def build_peq_win_T(tT_codes, m_cap: int, n_cap: int, w_band: int, rg: int):
+    """Pre-windowed per-grid-step Peq panels (the t8big pattern): step g
+    covers query rows i in [g*rg + 1, (g+1)*rg], whose funnel windows
+    read Peq words [base_g, base_g + wpg) with
+    base_g = (g*rg + dlo + guard) >> 5. Keeping only those words resident
+    per step caps the sweep's Peq VMEM at ~NW_CODES*wpg words per lane
+    group (~60-400 KB) instead of the full n_cap-bit mask (~4 MB at the
+    40960/1024 tier, which blew the Mosaic scoped-vmem budget and kept
+    the 40960-cap align tiers on the ~11x-slower scored sweep).
+    Returns (steps, NW_CODES * wpg, B) int32; geometry is exact:
+    base_{last} + wpg == peq_words for every supported tier."""
+    B = tT_codes.shape[1]
+    nwp = peq_words(n_cap, w_band)
+    peq = build_peq_T(tT_codes, n_cap, w_band).reshape(NW_CODES, nwp, B)
+    C = band_dlo(m_cap, n_cap, w_band) + guard_bits(w_band)
+    wpg = peq_win_words(w_band, rg)
+    steps = m_cap // rg
+    base = np.array([((g * rg + C) >> 5) for g in range(steps)], np.int32)
+    assert base[0] >= 0 and int(base[-1]) + wpg <= nwp
+    idx = base[:, None] + np.arange(wpg, dtype=np.int32)[None, :]
+    win = jnp.take(peq, jnp.asarray(idx), axis=1)  # (6, steps, wpg, B)
+    return jnp.transpose(win, (1, 0, 2, 3)).reshape(
+        steps, NW_CODES * wpg, B)
+
+
 # ------------------------- word-vector helpers ------------------------- #
 # arrays are (nw, B) int32; bit index b = 32*w + (b & 31), low-to-high.
 
@@ -373,7 +405,10 @@ def myers_fits(m_cap: int, n_cap: int, w_band: int) -> bool:
     """Eligibility of the Myers align path: equal caps (the align-stage
     contract), the t8 dlo regime, W a multiple of 32, and a VMEM model
     under the Mosaic scoped budget (double-buffered blocks + scratch +
-    live temporaries). Oversized tiers keep the scored sweep."""
+    live temporaries). The sweep's Peq panels are pre-windowed per grid
+    step (build_peq_win_T) so only ~NW_CODES * peq_win_words words ride
+    VMEM — this is what lets the 40960-cap long-overlap tiers (which
+    the full-mask layout pushed past the budget) run bit-parallel too."""
     import os
 
     if os.environ.get("RACON_TPU_MYERS", "1") == "0":
@@ -383,13 +418,12 @@ def myers_fits(m_cap: int, n_cap: int, w_band: int) -> bool:
     if band_dlo(m_cap, n_cap, w_band) > 0:
         return False
     nw = w_band // 32
-    nwp = peq_words(n_cap, w_band)
     per_lane = 4 * B_LANE
     rg = sweep_rows_g(m_cap, w_band)
     if m_cap % rg:
         return False
     q = rg * per_lane
-    peq = NW_CODES * nwp * per_lane
+    peq = NW_CODES * peq_win_words(w_band, rg) * per_lane
     planes_blk = rg * 2 * nw * per_lane
     temps = 16 * nw * per_lane
     sweep = 2 * (q + peq + planes_blk) + 2 * nw * per_lane + temps
@@ -414,7 +448,9 @@ def _roll_up_tpu(a):
 def _myers_sweep_kernel(q_ref, peq_ref, planes_ref, pvscr, mvscr, *,
                         m_cap, n_cap, w_band, rows_g):
     """q (rows_g, BT) int32 codes of this group's rows; peq
-    (NW_CODES * peq_words, BT) int32 full Peq panel; planes
+    (1, NW_CODES * peq_win_words, BT) int32 pre-windowed Peq panel of
+    THIS grid step (build_peq_win_T; word u of plane c is full-mask word
+    base_g + u, base_g = (g*rows_g + dlo + guard) >> 5); planes
     (1, rows_g * 2 * nw, BT) int32 output block: per local row r, words
     [r*2nw, r*2nw+nw) = DIAG, next nw = UP. pv/mv scratch carry the
     band-shifted state across groups."""
@@ -423,8 +459,9 @@ def _myers_sweep_kernel(q_ref, peq_ref, planes_ref, pvscr, mvscr, *,
     BT = q_ref.shape[1]
     dlo = band_dlo(m_cap, n_cap, W)
     gd = guard_bits(W)
-    nwp = peq_words(n_cap, W)
+    wpg = peq_win_words(W, rows_g)
     g = pl.program_id(1)
+    base_g = (g * rows_g + dlo + gd) >> 5
 
     @pl.when(g == 0)
     def _():
@@ -436,12 +473,12 @@ def _myers_sweep_kernel(q_ref, peq_ref, planes_ref, pvscr, mvscr, *,
         i = g * rows_g + r + 1
         kz = -(i + dlo)
         pos0 = i + dlo - 1 + gd
-        w0 = pos0 >> 5
+        w0 = (pos0 >> 5) - base_g
         rsh = pos0 & 31
         qi = q_ref[pl.ds(r, 1), :]
         eq = jnp.zeros((nw, BT), jnp.int32)
         for c in range(NW_CODES):
-            win = peq_ref[pl.ds(c * nwp + w0, nw + 1), :]
+            win = peq_ref[0, pl.ds(c * wpg + w0, nw + 1), :]
             lo = jax.lax.slice(win, (0, 0), (nw, BT))
             hi = jax.lax.slice(win, (1, 0), (nw + 1, BT))
             wv = jnp.where(rsh == 0, lo,
@@ -460,15 +497,18 @@ def _myers_sweep_kernel(q_ref, peq_ref, planes_ref, pvscr, mvscr, *,
     mvscr[...] = mv
 
 
-def myers_sweep_t(qT, peqT, *, m_cap, n_cap, w_band, interpret=False):
-    """qT (m_cap, B) int32 codes, peqT (NW_CODES * peq_words, B) int32.
-    Returns planes (m_cap // rows_g, rows_g * 2 * nw, B) int32."""
+def myers_sweep_t(qT, peq_win, *, m_cap, n_cap, w_band, interpret=False):
+    """qT (m_cap, B) int32 codes, peq_win (m_cap // rows_g,
+    NW_CODES * peq_win_words, B) int32 pre-windowed Peq panels
+    (build_peq_win_T). Returns planes (m_cap // rows_g,
+    rows_g * 2 * nw, B) int32."""
     B = qT.shape[1]
     W = w_band
     nw = W // 32
     rg = sweep_rows_g(m_cap, W)
     assert B % B_LANE == 0 and m_cap % rg == 0
-    nwp = peq_words(n_cap, W)
+    wpg = peq_win_words(W, rg)
+    assert peq_win.shape[:2] == (m_cap // rg, NW_CODES * wpg)
     kernel = functools.partial(_myers_sweep_kernel, m_cap=m_cap,
                                n_cap=n_cap, w_band=W, rows_g=rg)
     return pl.pallas_call(
@@ -479,7 +519,8 @@ def myers_sweep_t(qT, peqT, *, m_cap, n_cap, w_band, interpret=False):
         in_specs=[
             pl.BlockSpec((rg, B_LANE), lambda b, g: (g, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NW_CODES * nwp, B_LANE), lambda b, g: (0, b),
+            pl.BlockSpec((1, NW_CODES * wpg, B_LANE),
+                         lambda b, g: (g, 0, b),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, rg * 2 * nw, B_LANE),
@@ -490,7 +531,7 @@ def myers_sweep_t(qT, peqT, *, m_cap, n_cap, w_band, interpret=False):
             pltpu.VMEM((nw, B_LANE), jnp.int32),
         ],
         interpret=interpret,
-    )(qT, peqT)
+    )(qT, peq_win)
 
 
 def _myers_walk_kernel(m_ref, n_ref, planes_ref, rec_ref, fin_ref, kscr,
@@ -609,7 +650,8 @@ def align_walk_myers_batch(q4, t4, m, n, *, m_cap, n_cap, w_band,
 
     qT = _expand_nib_T(q4.T, m_cap).astype(jnp.int32)
     tT = _expand_nib_T(t4.T, n_cap).astype(jnp.int32)
-    peq = build_peq_T(tT, n_cap, w_band)
+    rg = sweep_rows_g(m_cap, w_band)
+    peq = build_peq_win_T(tT, m_cap, n_cap, w_band, rg)
     planes = myers_sweep_t(qT, peq, m_cap=m_cap, n_cap=n_cap, w_band=w_band,
                            interpret=interpret)
     payload, _esc = myers_walk_t(planes, m, n, m_cap=m_cap, n_cap=n_cap,

@@ -182,6 +182,36 @@ def test_pallas_kernels_match_ref_interpret():
     assert np.array_equal(np.asarray(p_ref), np.asarray(p_ker))
 
 
+def test_pallas_windowed_peq_multi_step():
+    """The sweep's Peq panels are pre-windowed per grid step
+    (build_peq_win_T); at m_cap=512/W=64 the sweep runs 4 grid steps
+    (rows_g=128), so the cross-step base-word arithmetic
+    (base_g = (g*rg + dlo + guard) >> 5 and the in-step w0_local funnel
+    offsets) is exercised across panel boundaries. Payloads must stay
+    byte-identical to the jnp reference, which reads the FULL Peq mask."""
+    from racon_tpu.ops.myers_kernel import (align_walk_myers_batch,
+                                            align_walk_myers_ref,
+                                            sweep_rows_g)
+    from racon_tpu.ops.nw_kernel import pack_codes4
+
+    assert 512 // sweep_rows_g(512, 64) >= 4  # multi-step by construction
+    rng = np.random.default_rng(71)
+    pairs = []
+    for _ in range(128):
+        tlen = int(rng.integers(256, 512))
+        t = rng.choice(ACGT, tlen)
+        q = _mutate(rng, t, int(rng.integers(0, 24)))[:512]
+        pairs.append((q, t))
+    q8, t8, m, n = _panels(pairs, 512, 512)
+    p_ref, _ = align_walk_myers_ref(
+        q8.astype(np.int32).T, t8.astype(np.int32).T, m, n,
+        m_cap=512, n_cap=512, w_band=64)
+    p_ker, _ = align_walk_myers_batch(
+        pack_codes4(q8), pack_codes4(t8), m, n,
+        m_cap=512, n_cap=512, w_band=64, interpret=True)
+    assert np.array_equal(np.asarray(p_ref), np.asarray(p_ker))
+
+
 def test_mesh_sharded_myers_matches_single():
     """fmt="myers" through sharded_align_walk on the 8-device CPU mesh
     (jnp twin per shard) must produce the same payload bytes as the
