@@ -310,12 +310,14 @@ def _trace_device_ms(fns: dict, reps=4):
 
 
 def bench_align_stage(cfg, overlaps="sample_overlaps.paf.gz",
-                      targets="sample_layout.fasta.gz", ptype=None):
+                      targets="sample_layout.fasta.gz", ptype=None,
+                      reads="sample_reads.fastq.gz", datadir=None):
     """Overlap-alignment stage on REAL data (/root/reference/test/data):
     overlaps/s through the device tier ladder vs the native host aligner
     (the reference edlib role). Default: the 181 read->contig sample PAF;
     main() also runs the 8,016-overlap all-vs-all PAF (ava mode, VERDICT
-    r2 item 2's scale)."""
+    r2 item 2's scale) and a synthetic long-read set (datadir override)
+    that lands on the 40960-cap Myers tiers."""
     import contextlib
     import dataclasses
     import io
@@ -324,13 +326,13 @@ def bench_align_stage(cfg, overlaps="sample_overlaps.paf.gz",
     from racon_tpu.polisher import create_polisher
     from racon_tpu.utils.logger import Logger
 
-    d = "/root/reference/test/data"
+    d = datadir or "/root/reference/test/data"
     if not os.path.isdir(d):
         return None
     if ptype is not None:
         cfg = dataclasses.replace(cfg, type=ptype, match=1, mismatch=-1,
                                   gap=-1)
-    p = create_polisher(os.path.join(d, "sample_reads.fastq.gz"),
+    p = create_polisher(os.path.join(d, reads),
                         os.path.join(d, overlaps),
                         os.path.join(d, targets), cfg)
     # run initialize() but intercept the align stage to time both backends
@@ -387,6 +389,54 @@ def bench_align_stage(cfg, overlaps="sample_overlaps.paf.gz",
     finally:
         NativeAlignStage.breaking_points = orig
     return result
+
+
+def bench_align_stage_long(cfg, n_reads=300):
+    """Long-overlap align stage: SYNTHETIC 30-38 kb reads against a
+    400 kb draft (8% subs + balanced 1.5% indels so the diagonal stays
+    within the band). These spans land on the 40960-cap tiers, which ran
+    the scored sweeps (t8big rle / lane-major packed2) until the
+    windowed-Peq Myers panels made the whole ladder bit-parallel —
+    this entry records that tier's device-vs-host stage throughput."""
+    import os
+    import tempfile
+
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    rng = np.random.default_rng(4099)
+    G = 400_000
+    true = rng.choice(ACGT, G)
+    draft = true.copy()
+    for pos in rng.choice(G, G // 200, replace=False):
+        draft[pos] = rng.choice(ACGT)
+    with tempfile.TemporaryDirectory(prefix="racon_long_") as td:
+        paf = []
+        with open(os.path.join(td, "reads.fasta"), "wb") as f:
+            for r in range(n_reads):
+                rlen = int(rng.integers(30_000, 38_000))
+                s = int(rng.integers(0, G - rlen))
+                seg = true[s : s + rlen].copy()
+                for pos in rng.choice(rlen, int(rlen * 0.08),
+                                      replace=False):
+                    seg[pos] = rng.choice(ACGT)
+                nd = int(rlen * 0.015)
+                seg = np.delete(seg, rng.choice(len(seg) - 2, nd,
+                                                replace=False))
+                ins = rng.choice(len(seg) - 2, nd, replace=False)
+                seg = np.insert(seg, ins, rng.choice(ACGT, nd))
+                f.write(b">r%d\n" % r + seg.tobytes() + b"\n")
+                paf.append("\t".join(map(str, (
+                    f"r{r}", len(seg), 0, len(seg), "+", "ctg", G, s,
+                    s + rlen, len(seg) * 9 // 10, len(seg), 60))))
+        with open(os.path.join(td, "ovl.paf"), "w") as f:
+            f.write("\n".join(paf) + "\n")
+        with open(os.path.join(td, "draft.fasta"), "wb") as f:
+            f.write(b">ctg\n" + draft.tobytes() + b"\n")
+        out = bench_align_stage(cfg, overlaps="ovl.paf",
+                                targets="draft.fasta", reads="reads.fasta",
+                                datadir=td)
+    if out is not None:
+        out["data"] = "synthetic 30-38 kb reads (40960-cap tier domain)"
+    return out
 
 
 def bench_merge_scaling(tpu, windows, cfg, reps=3):
@@ -450,6 +500,31 @@ def bench_merge_scaling(tpu, windows, cfg, reps=3):
     return out
 
 
+def _tunnel_probe():
+    """Session-condition stamp recorded at the top of every ledger: the
+    axon tunnel's sync+D2H round-trip for a 4 MB payload drifts by an
+    order of magnitude across sessions (a degraded session measured
+    ~150 ms/4 MB and collapsed stage throughput ~4x while the
+    profiler-trace kernel times were unchanged). Wall-clock stage
+    numbers are only comparable between ledgers with similar probes."""
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        x = jnp.ones((4096, 1024), jnp.uint8)
+        f = jax.jit(lambda a: a + 1)
+        np.asarray(f(x))  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.monotonic()
+            for _ in range(5):
+                np.asarray(f(x))
+            best = min(best, (time.monotonic() - t0) / 5)
+        return {"sync_d2h_4mb_ms": round(best * 1e3, 1)}
+    except Exception as e:  # pragma: no cover
+        return {"error": str(e)}
+
+
 def main():
     from racon_tpu.models.polish_model import PolisherConfig
     from racon_tpu.native.consensus_stage import NativeConsensusStage
@@ -466,7 +541,8 @@ def main():
                            "window_len": WINDOW_LEN, "depth": DEPTH,
                            "layers_per_window_measured": round(lay_per_win, 2),
                            "read_error": ERR, "host_threads":
-                           cfg.num_threads}}
+                           cfg.num_threads},
+              "tunnel_probe": _tunnel_probe()}
 
     # CPU baseline (racon-equivalent host path), once
     cpu_dt, cpu_cons = run_stage(NativeConsensusStage(cfg), windows, cfg)
@@ -564,6 +640,10 @@ def main():
             targets="sample_reads.fastq.gz", ptype=PolisherType.kF)
     except Exception as e:  # pragma: no cover
         ledger["align_stage_ava_paf"] = {"error": str(e)}
+    try:
+        ledger["align_stage_long_synth"] = bench_align_stage_long(cfg)
+    except Exception as e:  # pragma: no cover
+        ledger["align_stage_long_synth"] = {"error": str(e)}
 
     # sanity: consensus quality comparable between paths
     from racon_tpu.native import bindings
