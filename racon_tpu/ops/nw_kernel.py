@@ -1351,30 +1351,76 @@ def align_walk_gather_core(qblob4, tblob4, dcbits, meta, *, m_cap, n_cap,
                            gap=gap, nw_fn=nw_fn)
 
 
+def _blob_words32(blob8):
+    """(L,) uint8 blob -> (ceil(L / 4),) int32 words (little-endian).
+    device_put_blob buckets are powers of two >= 4096 (no pad copy on the
+    production path); raw test blobs get a static-shape tail pad."""
+    L = blob8.shape[0]
+    if L % 4:
+        blob8 = jnp.pad(blob8, (0, 4 - L % 4))
+    return jax.lax.bitcast_convert_type(blob8.reshape(-1, 4), jnp.int32)
+
+
+def _lsr32(x, s):
+    s = jnp.broadcast_to(jnp.asarray(s, x.dtype), x.shape)
+    return jax.lax.shift_right_logical(x, s)
+
+
 def _gather_nib_cols(blob4, start, length, rows: int, row_off: int,
                      fill: int):
     """Transposed row gather: output (rows, B) int8 where entry (r, b) is
     blob element start[b] + r + row_off when 0 <= r + row_off < length[b],
     else fill. row_off < 0 leaves `-row_off` fill sublanes on top (used for
-    the target panel's band padding)."""
-    pos = jax.lax.broadcasted_iota(jnp.int32, (rows, start.shape[0]),
-                                   0) + row_off
-    idx = start[None, :].astype(jnp.int32) + pos
+    the target panel's band padding).
+
+    Word-wise formulation: per-ELEMENT byte gathers cost ~16 ns each on
+    TPU (the round-3 production consensus dispatch spent 72 of its 102 ms
+    device time in these gathers); fetching int32 WORDS (8 nibbles each)
+    cuts the gathered-element count 8x, then a per-item funnel shift
+    realigns to the word boundary and a dense 8-way unpack recovers the
+    element stream — measured 21.3 -> 2.4 ms for the q panel at B=4096."""
+    B = start.shape[0]
+    words = _blob_words32(blob4)
+    NW = words.shape[0]
+    nwb = (rows + 7) // 8 + 2  # covered words + funnel slack
+    s = start.astype(jnp.int32) + row_off  # element index of output row 0
+    w0 = s >> 3  # floor for negative s (row_off < 0); fetches clipped
+    idxw = w0[None, :] + jax.lax.broadcasted_iota(jnp.int32, (nwb, B), 0)
+    raw = jnp.take(words, jnp.clip(idxw, 0, NW - 1), axis=0,
+                   indices_are_sorted=False)  # (nwb, B)
+    sh = (s & 7) << 2  # bit shift of the realignment funnel
+    lo = _lsr32(raw[:-1], sh[None, :])
+    hi = jnp.where(sh[None, :] == 0, 0,
+                   raw[1:] << ((32 - sh) & 31)[None, :])
+    rw = lo | hi  # (nwb - 1, B): element s + 8w at bits 4k
+    nibs = jnp.stack([(_lsr32(rw, 4 * k)) & 0xF for k in range(8)],
+                     axis=1).reshape((nwb - 1) * 8, B)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (rows, B), 0) + row_off
     valid = (pos >= 0) & (pos < length[None, :])
-    idxc = jnp.where(valid, idx, 0)
-    byte = blob4[idxc >> 1]
-    code = (byte >> ((idxc & 1) << 2)) & 0xF
-    return jnp.where(valid, code, fill).astype(jnp.int8)
+    return jnp.where(valid, nibs[:rows], fill).astype(jnp.int8)
 
 
 def _gather_bit_cols(bits, start, length, rows: int, fillbit: int):
-    pos = jax.lax.broadcasted_iota(jnp.int32, (rows, start.shape[0]), 0)
-    idx = start[None, :].astype(jnp.int32) + pos
+    """Word-wise twin of _gather_nib_cols for little-endian bitmask blobs
+    (32 bits per fetched word, 32-way dense unpack)."""
+    B = start.shape[0]
+    words = _blob_words32(bits)
+    NW = words.shape[0]
+    nwb = (rows + 31) // 32 + 2
+    s = start.astype(jnp.int32)
+    w0 = s >> 5
+    idxw = w0[None, :] + jax.lax.broadcasted_iota(jnp.int32, (nwb, B), 0)
+    raw = jnp.take(words, jnp.clip(idxw, 0, NW - 1), axis=0)
+    sh = s & 31
+    lo = _lsr32(raw[:-1], sh[None, :])
+    hi = jnp.where(sh[None, :] == 0, 0,
+                   raw[1:] << ((32 - sh) & 31)[None, :])
+    rw = lo | hi  # (nwb - 1, B): bit s + 32w at bit k
+    bitsT = jnp.stack([(_lsr32(rw, k)) & 1 for k in range(32)],
+                      axis=1).reshape((nwb - 1) * 32, B)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (rows, B), 0)
     valid = pos < length[None, :]
-    idxc = jnp.where(valid, idx, 0)
-    byte = bits[idxc >> 3]
-    bit = (byte >> (idxc & 7)) & 1
-    return jnp.where(valid, bit, fillbit).astype(jnp.int32)
+    return jnp.where(valid, bitsT[:rows], fillbit).astype(jnp.int32)
 
 
 def align_walk_gather_core_t(qblob4, tblob4, dcbits, meta, *, m_cap, n_cap,
@@ -1386,8 +1432,11 @@ def align_walk_gather_core_t(qblob4, tblob4, dcbits, meta, *, m_cap, n_cap,
     B = meta.shape[0]
     W = w_band
     qT = _gather_nib_cols(qblob4, qs, m, m_cap, 0, PAD_CODE).astype(jnp.int32)
-    tpT = _gather_nib_cols(tblob4, ts, n, n_cap + 2 * W, -W,
-                           PAD_CODE).astype(jnp.int32)
+    # the W band-pad rows on both sides are pure PAD fill (lengths are
+    # <= n_cap by the stage contract) — gather only the n_cap real rows
+    tpT = jnp.pad(_gather_nib_cols(tblob4, ts, n, n_cap, 0, PAD_CODE),
+                  ((W, W), (0, 0)),
+                  constant_values=PAD_CODE).astype(jnp.int32)
     # per-column deletion costs, gap beyond each row's length up to n_cap
     # (matching pack_rows_bits' fill) and ZERO in the W-row pads so the
     # in-kernel gc freezes at gc[n_cap] like the old edge-padded cumsum
@@ -1400,6 +1449,35 @@ def align_walk_gather_core_t(qblob4, tblob4, dcbits, meta, *, m_cap, n_cap,
         moves, m, n, m_cap=m_cap, n_cap=n_cap, w_band=W,
         max_steps=walk_steps(m_cap, n_cap, W), packed=True)
     payload = jnp.concatenate([codes, escaped[:, None].astype(jnp.uint8)],
+                              axis=1)
+    return payload, score.T
+
+
+def align_walk_gather_core_rle_t(qblob4, tblob4, dcbits, meta, *, m_cap,
+                                 n_cap, w_band, match, mismatch, gap):
+    """align_walk_gather_core_t with the RLE walk (the stage-default
+    payload): event bytes + escape flag, decoded by
+    bindings.opstream_rle_to_ops_batch. Until round 4 the gather path
+    only offered rows/packed2 payloads, which silently forced the
+    production consensus dispatch onto the slowest walk (packed2) —
+    102 ms/dispatch at 640/128 B=4096 vs 7.3 ms for the dense rle body."""
+    qs, m, ts, n = meta[:, 0], meta[:, 1], meta[:, 2], meta[:, 3]
+    W = w_band
+    qT = _gather_nib_cols(qblob4, qs, m, m_cap, 0, PAD_CODE).astype(jnp.int32)
+    # the W band-pad rows on both sides are pure PAD fill (lengths are
+    # <= n_cap by the stage contract) — gather only the n_cap real rows
+    tpT = jnp.pad(_gather_nib_cols(tblob4, ts, n, n_cap, 0, PAD_CODE),
+                  ((W, W), (0, 0)),
+                  constant_values=PAD_CODE).astype(jnp.int32)
+    dcT = _gather_bit_cols(dcbits, ts, n, n_cap, 1) * gap
+    dcpT = jnp.pad(dcT, ((W, W), (0, 0)))
+    moves, score = nw_band_batch_t8(qT, tpT, dcpT, m_cap=m_cap, n_cap=n_cap,
+                                    w_band=W, match=match, mismatch=mismatch,
+                                    gap=gap)
+    events, escaped = walk_moves_rle_t(
+        moves, m, n, m_cap=m_cap, n_cap=n_cap, w_band=W,
+        max_events=rle_events(m_cap, n_cap, W))
+    payload = jnp.concatenate([events, escaped[:, None].astype(jnp.uint8)],
                               axis=1)
     return payload, score.T
 
@@ -1420,6 +1498,10 @@ def align_walk_gather_batch(qblob4, tblob4, dcbits, meta, *, m_cap, n_cap,
     path is exercised by the CPU test suite)."""
     if fmt == "rows":
         return align_walk_gather_core_rows_t(
+            qblob4, tblob4, dcbits, meta, m_cap=m_cap, n_cap=n_cap,
+            w_band=w_band, match=match, mismatch=mismatch, gap=gap)
+    if fmt == "rle":
+        return align_walk_gather_core_rle_t(
             qblob4, tblob4, dcbits, meta, m_cap=m_cap, n_cap=n_cap,
             w_band=w_band, match=match, mismatch=mismatch, gap=gap)
     if not interpret and t_kernel_fits(m_cap, n_cap, w_band):
@@ -1457,13 +1539,14 @@ def align_walk_gather_padded(qblob4_dev, tblob4_dev, dcbits_dev, meta, *,
     bp = -(-bp // unit) * unit
     if bp != B:
         meta = np.pad(np.asarray(meta), ((0, bp - B), (0, 0)))
-    # rows payloads only (gather dispatches are small-tier consensus work);
-    # everything else keeps the 2-bit step stream. "rows" additionally
-    # requires the small transposed sweep: align_walk_gather_core_rows_t
-    # has no big-tier variant, so a big-only tier (t_big_fits without
-    # t_kernel_fits) under RACON_TPU_WALK=rows must not select it.
+    # walk_fmt's stage policy applies here too ("rle" default on real
+    # chips, RACON_TPU_WALK=rows opt-in); both fused walks require the
+    # small transposed sweep — the gather cores have no big-tier variant,
+    # so a big-only tier (t_big_fits without t_kernel_fits) falls back to
+    # the 2-bit step stream.
     fmt = walk_fmt(m_cap, n_cap, w_band, interpret, bp)
-    if fmt != "rows" or not t_kernel_fits(m_cap, n_cap, w_band):
+    if fmt not in ("rows", "rle") or not t_kernel_fits(m_cap, n_cap,
+                                                       w_band):
         fmt = "packed2"
     if mesh is not None:
         payload, score = sharded_align_walk_gather(
@@ -1897,8 +1980,11 @@ def align_walk_gather_core_rows_t(qblob4, tblob4, dcbits, meta, *, m_cap,
     qs, m, ts, n = meta[:, 0], meta[:, 1], meta[:, 2], meta[:, 3]
     W = w_band
     qT = _gather_nib_cols(qblob4, qs, m, m_cap, 0, PAD_CODE).astype(jnp.int32)
-    tpT = _gather_nib_cols(tblob4, ts, n, n_cap + 2 * W, -W,
-                           PAD_CODE).astype(jnp.int32)
+    # the W band-pad rows on both sides are pure PAD fill (lengths are
+    # <= n_cap by the stage contract) — gather only the n_cap real rows
+    tpT = jnp.pad(_gather_nib_cols(tblob4, ts, n, n_cap, 0, PAD_CODE),
+                  ((W, W), (0, 0)),
+                  constant_values=PAD_CODE).astype(jnp.int32)
     dcT = _gather_bit_cols(dcbits, ts, n, n_cap, 1) * gap
     dcpT = jnp.pad(dcT, ((W, W), (0, 0)))
     moves, score = nw_band_batch_t8(qT, tpT, dcpT, m_cap=m_cap, n_cap=n_cap,

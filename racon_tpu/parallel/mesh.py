@@ -231,6 +231,12 @@ def sharded_align_walk_gather(mesh: Mesh, qblob4, tblob4, dcbits, meta, *,
                 return align_walk_gather_core_rows_t(
                     qb, tb, db, metas, m_cap=m_cap, n_cap=n_cap,
                     w_band=w_band, match=match, mismatch=mismatch, gap=gap)
+            if fmt == "rle":
+                from ..ops.nw_kernel import align_walk_gather_core_rle_t
+
+                return align_walk_gather_core_rle_t(
+                    qb, tb, db, metas, m_cap=m_cap, n_cap=n_cap,
+                    w_band=w_band, match=match, mismatch=mismatch, gap=gap)
             if not interpret and t_kernel_fits(m_cap, n_cap, w_band):
                 # real chips run the transposed (sublane-band) kernel
                 return align_walk_gather_core_t(

@@ -197,6 +197,59 @@ def test_gather_path_matches_packed_path():
     np.testing.assert_array_equal(np.asarray(got_s2), np.asarray(want_s))
 
 
+def test_word_wise_blob_gathers_match_oracle():
+    """_gather_nib_cols/_gather_bit_cols were reformulated word-wise
+    (int32 fetches + funnel realign + dense unpack — 8-30x fewer gathered
+    elements on TPU); outputs must stay element-exact vs a per-element
+    numpy oracle, including negative row_off band pads, odd starts, and
+    fetches clipped at the blob tail."""
+    import numpy as np
+    import jax.numpy as jnp
+    from racon_tpu.ops.nw_kernel import (_gather_bit_cols,
+                                         _gather_nib_cols, pack_bits_flat,
+                                         pack_codes4_flat)
+
+    rng = np.random.default_rng(17)
+    L = 5000  # deliberately not a power of two (tail-clip coverage)
+    blob_el = rng.integers(0, 6, L).astype(np.int8)
+    bits_el = rng.integers(0, 2, L).astype(np.uint8)
+    blob4 = pack_codes4_flat(blob_el)
+    bitsb = pack_bits_flat(bits_el)
+    B = 48
+    start = rng.integers(0, L - 700, B).astype(np.int32)
+    start[0] = L - 650  # rows run past the blob end (must stay fill)
+    length = rng.integers(1, 640, B).astype(np.int32)
+    length[0] = 640
+    for rows, row_off, fill in ((640, 0, 5), (640 + 2 * 64, -64, 5),
+                                (96, -8, 5)):
+        got = np.asarray(_gather_nib_cols(
+            jnp.asarray(blob4), jnp.asarray(start), jnp.asarray(length),
+            rows, row_off, fill))
+        want = np.full((rows, B), fill, np.int8)
+        for b in range(B):
+            for r in range(rows):
+                p = r + row_off
+                if 0 <= p < length[b] and start[b] + p < L:
+                    want[r, b] = blob_el[start[b] + p]
+                elif 0 <= p < length[b]:  # past-blob rows read pad nibbles
+                    e = start[b] + p
+                    want[r, b] = ((blob4[e >> 1] >> ((e & 1) << 2)) & 0xF
+                                  if e >> 1 < len(blob4) else 0)
+        np.testing.assert_array_equal(got, want)
+    for rows in (640, 96):
+        got = np.asarray(_gather_bit_cols(
+            jnp.asarray(bitsb), jnp.asarray(start), jnp.asarray(length),
+            rows, 1))
+        want = np.full((rows, B), 1, np.int32)
+        for b in range(B):
+            for r in range(rows):
+                if r < length[b]:
+                    e = start[b] + r
+                    want[r, b] = ((bitsb[e >> 3] >> (e & 7)) & 1
+                                  if e >> 3 < len(bitsb) else 0)
+        np.testing.assert_array_equal(got, want)
+
+
 def test_transposed_core_matches_row_core():
     """The transposed (sublane-band) fused core — the real-chip production
     path — must produce the exact payload/score of the lane-major gather
