@@ -36,6 +36,31 @@ def _chunk_size(cap: int, band: int) -> int:
     return chunk_size(cap, band, 1024)
 
 
+def tier_myers(cap: int, band: int, interpret: bool) -> bool:
+    """Tier routing for the Myers bit-parallel align kernel. Myers wins
+    on pure device time at EVERY tier (7.4-11.9x, docs/PERF.md), but its
+    rows-format payload is cap + 2 bytes/item vs ~cap/4 for the scored
+    rle/packed2 payloads — on a high-latency tunneled link the extra D2H
+    inverts the stage-level outcome at long caps (same-session A/B at
+    the 40960/4096 tier: scored 0.654 s vs Myers 0.907 s warm for 300
+    overlaps, while ava-scale caps <= 10240 measure Myers 3-4x faster
+    end-to-end). Policy: Myers everywhere on locally-attached chips;
+    behind a tunnel, Myers only while the payload stays <= 16 KB/item
+    (caps <= ~16k). RACON_TPU_MYERS_PAYLOAD_MAX overrides the byte
+    threshold; RACON_TPU_MYERS=0 disables the kernel entirely."""
+    import os
+
+    from ..utils.jaxenv import tunneled_link
+    from .myers_kernel import myers_fits
+
+    if interpret or not myers_fits(cap, cap, band):
+        return False
+    v = os.environ.get("RACON_TPU_MYERS_PAYLOAD_MAX")
+    if v is not None:
+        return cap + 2 <= int(v)
+    return cap + 2 <= (16 << 10) or not tunneled_link()
+
+
 class TpuAlignStage:
     def __init__(self, cfg, interpret: bool):
         self.cfg = cfg
@@ -92,7 +117,6 @@ class TpuAlignStage:
         if self.interpret:
             return
         from ..parallel.mesh import active_mesh
-        from .myers_kernel import myers_fits
         from .nw_kernel import padded_batch, prewarm_tiers_async, walk_fmt
 
         if active_mesh() is not None:
@@ -102,7 +126,7 @@ class TpuAlignStage:
             step = _chunk_size(cap, band)
             fixed_b = step if cap >= 5120 else None
             bp = padded_batch(step, fixed_b, False, 1)
-            fmt = ("myers" if myers_fits(cap, cap, band)
+            fmt = ("myers" if tier_myers(cap, band, False)
                    else walk_fmt(cap, cap, band, False, bp))
             specs.add((cap, band, bp, 0, -1, -1, fmt))
         prewarm_tiers_async(specs)
@@ -175,15 +199,16 @@ class TpuAlignStage:
         # Tiers that fit the Myers bit-parallel kernel ride it (the
         # edit-distance align stage is its exact domain — ~1-2 ops/cell
         # vs the scored sweep's ~45-60); the rest keep the scored path.
-        from .myers_kernel import align_walk_myers_padded, myers_fits
+        from .myers_kernel import align_walk_myers_padded
         from ..parallel.mesh import active_mesh
 
         single_dev = active_mesh() is None
 
         def _tier_myers(cap, band):
             # real chips only; mesh dispatches shard the myers kernel
-            # per chip (parallel/mesh.py fmt="myers")
-            return not self.interpret and myers_fits(cap, cap, band)
+            # per chip (parallel/mesh.py fmt="myers"); long caps route by
+            # payload size on tunneled links (module-level tier_myers)
+            return tier_myers(cap, band, self.interpret)
 
         if not self.interpret:
             from .nw_kernel import (padded_batch, prewarm_tiers_async,

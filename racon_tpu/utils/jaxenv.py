@@ -35,6 +35,19 @@ def setup_jax() -> None:
             pass
 
 
+def tunneled_link() -> bool:
+    """True when the chip sits behind a high-latency/low-bandwidth proxy
+    (the axon tunnel) rather than a local PCIe attach. Payload-size
+    tradeoffs invert on such links (docs/PERF.md "The tunnel lies to
+    wall clocks"); routing policies may consult this."""
+    try:
+        from jax._src import xla_bridge
+
+        return "axon" in xla_bridge.backends()
+    except Exception:
+        return False
+
+
 def warmup_async() -> None:
     """Open the device link early: on a tethered/tunneled chip the FIRST
     host<->device roundtrip of a process can cost tens of seconds (link

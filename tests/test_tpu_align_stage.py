@@ -107,3 +107,33 @@ def test_small_batch_auto_routes_to_host(tmp_path, monkeypatch):
     assert calls.get("native", 0) >= 1  # routed, not dispatched
     assert np.array_equal(p.windows.lay_win, p2.windows.lay_win)
     assert np.array_equal(p.windows.lay_begin, p2.windows.lay_begin)
+
+
+def test_tier_myers_payload_routing(monkeypatch):
+    """Myers tier routing: interpret mode always scored; the payload-size
+    gate applies only behind a tunneled link (rows payloads are cap + 2
+    bytes/item — 41 KB at the 40960 caps, which loses to the scored
+    compact payloads on slow links); RACON_TPU_MYERS_PAYLOAD_MAX
+    overrides the threshold; RACON_TPU_MYERS=0 kills the kernel."""
+    from racon_tpu.ops.align_stage_tpu import tier_myers
+    from racon_tpu.utils import jaxenv
+
+    assert not tier_myers(2560, 512, True)  # interpret -> scored path
+
+    monkeypatch.setattr(jaxenv, "tunneled_link", lambda: True)
+    assert tier_myers(2560, 512, False)
+    assert tier_myers(10240, 1024, False)
+    assert not tier_myers(40960, 1024, False)   # 41 KB payload
+    assert not tier_myers(40960, 4096, False)
+
+    monkeypatch.setattr(jaxenv, "tunneled_link", lambda: False)
+    assert tier_myers(40960, 1024, False)       # PCIe: Myers everywhere
+
+    monkeypatch.setattr(jaxenv, "tunneled_link", lambda: True)
+    monkeypatch.setenv("RACON_TPU_MYERS_PAYLOAD_MAX", "65536")
+    assert tier_myers(40960, 1024, False)
+    monkeypatch.setenv("RACON_TPU_MYERS_PAYLOAD_MAX", "1024")
+    assert not tier_myers(2560, 512, False)
+    monkeypatch.delenv("RACON_TPU_MYERS_PAYLOAD_MAX")
+    monkeypatch.setenv("RACON_TPU_MYERS", "0")
+    assert not tier_myers(2560, 512, False)
