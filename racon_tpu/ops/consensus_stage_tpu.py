@@ -248,15 +248,25 @@ class TpuConsensusStage:
 
         # optional device-resident layer blob (uploaded ONCE; each refinement
         # pass then ships only backbones + per-item metadata, and the dense
-        # row matrices are gathered on device). Off by default: XLA's
-        # element gather on TPU measures ~20x slower than host row packing
-        # + H2D + on-device transpose (the uplink runs ~1ms/MB), so the
-        # packed-rows path wins end-to-end; set RACON_TPU_DEVGATHER=1 on
-        # uplink-starved links. int32 gather indices bound the blob to 2^31
-        # elements.
+        # row matrices are gathered on device). Default: AUTO — on behind
+        # a tunneled link, off on local attaches. The round-3 gather form
+        # measured ~20x slower than host row packing + H2D (element-wise
+        # byte gathers, 72 ms of a 102 ms dispatch); the round-4 word-wise
+        # gathers + rle gather walk cut the dispatch to 13.8 ms — still
+        # ~2x the dense device body (7.3 ms), so a local attach (uplink
+        # ~1 ms/MB) keeps the dense path, but a tunneled link (uplink
+        # 25-800 ms/MB session-dependent) saves ~2.8 MB of per-chunk
+        # uplink at 640/128x4096, which dominates. RACON_TPU_DEVGATHER=0/1
+        # forces. int32 gather indices bound the blob to 2^31 elements.
         self._dev_q = None
-        if (os.environ.get("RACON_TPU_DEVGATHER", "0") == "1"
-                and st.lay_off[-1] < 2**31):
+        dg = os.environ.get("RACON_TPU_DEVGATHER")
+        if dg is None:
+            from ..utils.jaxenv import tunneled_link
+
+            use_dg = not self.interpret and tunneled_link()
+        else:
+            use_dg = dg == "1"
+        if use_dg and st.lay_off[-1] < 2**31:
             self._dev_q = device_put_blob(pack_codes4_flat(st.lay_codes),
                                           pad_value=0x55)
 
@@ -289,9 +299,12 @@ class TpuConsensusStage:
         # dispatch is in flight. The reference's fill/process loop plays
         # this role for its GPU batches (src/cuda/cudapolisher.cpp:83-144).
         n_coh = 1
-        if (not self.interpret and self._dev_q is None
-                and len(active) >= 256 and passes >= 2):
-            n_coh = 3  # measured best on v5e: 1278/1453/1366 wps at 2/3/4
+        if not self.interpret and len(active) >= 256 and passes >= 2:
+            # measured best on v5e: 1278/1453/1366 wps at 2/3/4. Cohorts
+            # compose with the device-gather form too: each cohort round
+            # builds its own backbone blob; the shared layer blob
+            # (self._dev_q) is read-only.
+            n_coh = 3
         env_coh = os.environ.get("RACON_TPU_COHORTS")
         if env_coh:
             n_coh = max(1, min(int(env_coh), len(active)))
