@@ -675,3 +675,11 @@ def _write_ledger(ledger):
 
 if __name__ == "__main__":
     main()
+    # hard-exit like cli.run(): the tunnel plugin's teardown can abort
+    # ("FATAL: exception not rethrown") seconds after fresh program
+    # compiles, past the point all output was written
+    import os
+
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)

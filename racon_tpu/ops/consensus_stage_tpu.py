@@ -471,6 +471,40 @@ class TpuConsensusStage:
                                     pad_value=0x55)
             dev_dc = device_put_blob(pack_bits_flat(del32 != 0),
                                      pad_value=0xFF)
+            # gather-form programs key on the blob BUCKET shapes, so the
+            # dense-path prewarm above cannot cover them; with the blobs
+            # now in hand, load every tier/bucket program this round needs
+            # concurrently (cold cost = max, not sum)
+            if not self.interpret:
+                from ..parallel.mesh import active_mesh
+                from .nw_kernel import (prewarm_gather_async, t_kernel_fits,
+                                        walk_fmt, B_LANE)
+                if active_mesh() is None:
+                    gspecs = set()
+                    for ti, (cap, wb) in enumerate(tiers):
+                        k = int(counts[ti])
+                        if k == 0:
+                            continue
+                        step = _chunk_size(cap, wb)
+                        fixed_b = step if cap >= 5120 else None
+                        for b in {min(step, k - c0)
+                                  for c0 in range(0, k, step)}:
+                            if fixed_b is not None:
+                                bp = max(fixed_b, b)
+                            else:
+                                bp = 16
+                                while bp < b:
+                                    bp *= 2
+                            bp = -(-bp // B_LANE) * B_LANE
+                            fmt = walk_fmt(cap, cap, wb, False, bp)
+                            if (fmt not in ("rows", "rle")
+                                    or not t_kernel_fits(cap, cap, wb)):
+                                fmt = "packed2"
+                            gspecs.add((self._dev_q.shape[0],
+                                        dev_t.shape[0], dev_dc.shape[0],
+                                        bp, cap, cap, wb, cfg.match,
+                                        cfg.mismatch, gap, fmt))
+                    prewarm_gather_async(gspecs)
         pending = []
         for ti, (cap, w_band) in enumerate(tiers):
             dev_idx = np.flatnonzero(tier_id == ti)

@@ -437,6 +437,40 @@ def padded_batch(B: int, fixed_b, interpret: bool, mesh_size: int) -> int:
 
 _prewarmed: set = set()
 _prewarm_ready: set = set()
+_prewarm_threads: list = []
+_prewarm_atexit = [False]
+
+
+def _spawn_prewarm(target) -> None:
+    """Start a prewarm compile thread, tracked for a bounded join at
+    interpreter exit: a daemon thread still inside a native compile call
+    when the interpreter tears down can abort the process ('FATAL:
+    exception not rethrown' -> SIGABRT) AFTER correct output — seen once
+    under back-to-back gather-prewarm runs. Joining with a bounded
+    budget (RACON_TPU_PREWARM_EXIT_WAIT seconds, default 15) closes the
+    common race without letting a slow remote ingest hang the exit."""
+    import atexit
+    import os
+    import threading
+    import time as _time
+
+    if not _prewarm_atexit[0]:
+        _prewarm_atexit[0] = True
+
+        def _drain():
+            budget = float(os.environ.get("RACON_TPU_PREWARM_EXIT_WAIT",
+                                          "15"))
+            deadline = _time.monotonic() + budget
+            for t in _prewarm_threads:
+                left = deadline - _time.monotonic()
+                if left <= 0:
+                    break
+                t.join(timeout=left)
+
+        atexit.register(_drain)
+    t = threading.Thread(target=target, daemon=True)
+    _prewarm_threads.append(t)
+    t.start()
 
 
 def prewarm_done(specs) -> bool:
@@ -458,8 +492,6 @@ def prewarm_tiers_async(specs) -> None:
     real dispatch that follows, which simply blocks until its tier's
     warm finishes. Single-device programs only (the mesh path keys its
     own programs); shapes must mirror padded_batch's output."""
-    import threading
-
     import jax as _jax
 
     for spec in specs:
@@ -494,7 +526,46 @@ def prewarm_tiers_async(specs) -> None:
             except Exception:
                 pass  # the real dispatch will surface any compile error
 
-        threading.Thread(target=_go, daemon=True).start()
+        _spawn_prewarm(_go)
+
+
+_prewarmed_gather: set = set()
+
+
+def prewarm_gather_async(specs) -> None:
+    """Concurrent AOT compile of device-gather fused programs. Spec:
+    (qlen, tlen, dclen, bp, m_cap, n_cap, w_band, match, mismatch, gap,
+    fmt) — blob BUCKET lengths are part of the jit key, so these specs
+    can only be formed once the round's blobs exist; the stage calls
+    this right before its first gather dispatch so every tier/bucket
+    program this round needs loads concurrently (cold cost = max, not
+    sum — the dense-path prewarm_tiers_async cannot cover these: the
+    gather form is a different program)."""
+    import jax as _jax
+
+    for spec in specs:
+        if spec in _prewarmed_gather:
+            continue
+        _prewarmed_gather.add(spec)
+        (qlen, tlen, dclen, bp, m_cap, n_cap, w_band, match, mismatch,
+         gap, fmt) = spec
+
+        def _go(qlen=qlen, tlen=tlen, dclen=dclen, bp=bp, m_cap=m_cap,
+                n_cap=n_cap, w_band=w_band, match=match, mismatch=mismatch,
+                gap=gap, fmt=fmt):
+            try:
+                qb = _jax.ShapeDtypeStruct((qlen,), jnp.uint8)
+                tb = _jax.ShapeDtypeStruct((tlen,), jnp.uint8)
+                db = _jax.ShapeDtypeStruct((dclen,), jnp.uint8)
+                meta = _jax.ShapeDtypeStruct((bp, 4), jnp.int32)
+                align_walk_gather_batch.lower(
+                    qb, tb, db, meta, m_cap=m_cap, n_cap=n_cap,
+                    w_band=w_band, match=match, mismatch=mismatch, gap=gap,
+                    fmt=fmt).compile()
+            except Exception:
+                pass  # the real dispatch will surface any compile error
+
+        _spawn_prewarm(_go)
 
 
 def align_walk_padded(q8, t8, dc8, m, n, *, m_cap, n_cap, w_band, match,
