@@ -57,7 +57,10 @@ def tier_myers(cap: int, band: int, interpret: bool) -> bool:
         return False
     v = os.environ.get("RACON_TPU_MYERS_PAYLOAD_MAX")
     if v is not None:
-        return cap + 2 <= int(v)
+        try:
+            return cap + 2 <= int(v)
+        except ValueError:
+            pass  # malformed override: fall through to the default policy
     return cap + 2 <= (16 << 10) or not tunneled_link()
 
 

@@ -127,13 +127,30 @@ class TpuConsensusStage:
 
     # ------------------------------------------------------------------ #
 
+    def _will_use_gather(self) -> bool:
+        """Whether polish will dispatch the device-resident gather form
+        (the blob-size cutoff cannot be known before polish; this mirrors
+        the default decision in consensus_windows)."""
+        dg = os.environ.get("RACON_TPU_DEVGATHER")
+        if dg is None:
+            from ..utils.jaxenv import tunneled_link
+
+            return not self.interpret and tunneled_link()
+        return dg == "1"
+
     def prewarm_for(self, window_length: int) -> None:
         """Kick off AOT loads of the consensus tiers a w=window_length run
         will almost certainly dispatch (the first tier whose cap fits the
         window plus its refinement-expanded backbones, at the canonical
         chunk size), so a one-shot CLI run overlaps the per-process
         program ingest with initialize()'s alignment stage instead of
-        paying it at the first polish dispatch (VERDICT r2 item 3)."""
+        paying it at the first polish dispatch (VERDICT r2 item 3).
+
+        Dense-form programs only: when polish will run the GATHER form,
+        these would be tens of seconds of wasted tunnel-server ingest for
+        programs that never dispatch — gather programs key on blob bucket
+        shapes and can only prewarm once the round's blobs exist
+        (prewarm_gather_async in the dispatch)."""
         if self.interpret:
             return
         from ..parallel.mesh import active_mesh
@@ -141,6 +158,8 @@ class TpuConsensusStage:
 
         if active_mesh() is not None:
             return  # the mesh path keys its own programs
+        if self._will_use_gather():
+            return
         gap = self.cfg.gap
         want = []
         for cap, wb in _TIERS:
@@ -193,8 +212,16 @@ class TpuConsensusStage:
         host_wps = float(os.environ.get(
             "RACON_TPU_CONS_HOST_WPS",
             self.HOST_WPS_PER_THREAD * max(1, cfg.num_threads)))
-        specs = getattr(self, "_prewarm_specs", None)
-        warm = specs is not None and prewarm_done(specs)
+        if self._will_use_gather():
+            # gather-form programs key on blob buckets and warm only at
+            # dispatch time: the warm signal is "this process already
+            # compiled its gather programs" (a prior polish run)
+            from .nw_kernel import gather_prewarm_done
+
+            warm = gather_prewarm_done()
+        else:
+            specs = getattr(self, "_prewarm_specs", None)
+            warm = specs is not None and prewarm_done(specs)
         cold_s = 0.0 if warm else float(
             os.environ.get("RACON_TPU_CONS_COLD_S", self.COLD_INGEST_S))
         dev_est = n_active / dev_wps + cold_s + self.DISPATCH_FIXED_S
@@ -259,14 +286,7 @@ class TpuConsensusStage:
         # uplink at 640/128x4096, which dominates. RACON_TPU_DEVGATHER=0/1
         # forces. int32 gather indices bound the blob to 2^31 elements.
         self._dev_q = None
-        dg = os.environ.get("RACON_TPU_DEVGATHER")
-        if dg is None:
-            from ..utils.jaxenv import tunneled_link
-
-            use_dg = not self.interpret and tunneled_link()
-        else:
-            use_dg = dg == "1"
-        if use_dg and st.lay_off[-1] < 2**31:
+        if self._will_use_gather() and st.lay_off[-1] < 2**31:
             self._dev_q = device_put_blob(pack_codes4_flat(st.lay_codes),
                                           pad_value=0x55)
 
@@ -477,8 +497,8 @@ class TpuConsensusStage:
             # concurrently (cold cost = max, not sum)
             if not self.interpret:
                 from ..parallel.mesh import active_mesh
-                from .nw_kernel import (prewarm_gather_async, t_kernel_fits,
-                                        walk_fmt, B_LANE)
+                from .nw_kernel import (gather_fmt, gather_padded_bp,
+                                        prewarm_gather_async)
                 if active_mesh() is None:
                     gspecs = set()
                     for ti, (cap, wb) in enumerate(tiers):
@@ -489,17 +509,8 @@ class TpuConsensusStage:
                         fixed_b = step if cap >= 5120 else None
                         for b in {min(step, k - c0)
                                   for c0 in range(0, k, step)}:
-                            if fixed_b is not None:
-                                bp = max(fixed_b, b)
-                            else:
-                                bp = 16
-                                while bp < b:
-                                    bp *= 2
-                            bp = -(-bp // B_LANE) * B_LANE
-                            fmt = walk_fmt(cap, cap, wb, False, bp)
-                            if (fmt not in ("rows", "rle")
-                                    or not t_kernel_fits(cap, cap, wb)):
-                                fmt = "packed2"
+                            bp = gather_padded_bp(b, fixed_b, 1)
+                            fmt = gather_fmt(cap, cap, wb, False, bp)
                             gspecs.add((self._dev_q.shape[0],
                                         dev_t.shape[0], dev_dc.shape[0],
                                         bp, cap, cap, wb, cfg.match,

@@ -530,6 +530,17 @@ def prewarm_tiers_async(specs) -> None:
 
 
 _prewarmed_gather: set = set()
+_prewarm_gather_ready: set = set()
+
+
+def gather_prewarm_done() -> bool:
+    """True once every gather-form program this process launched has
+    finished compiling AND at least one was launched — i.e. a later
+    polish in the same process finds its gather programs warm. A cold
+    process returns False (the stage's router then budgets the cold
+    ingest)."""
+    return (len(_prewarmed_gather) > 0
+            and _prewarmed_gather <= _prewarm_gather_ready)
 
 
 def prewarm_gather_async(specs) -> None:
@@ -562,6 +573,9 @@ def prewarm_gather_async(specs) -> None:
                     qb, tb, db, meta, m_cap=m_cap, n_cap=n_cap,
                     w_band=w_band, match=match, mismatch=mismatch, gap=gap,
                     fmt=fmt).compile()
+                _prewarm_gather_ready.add(
+                    (qlen, tlen, dclen, bp, m_cap, n_cap, w_band, match,
+                     mismatch, gap, fmt))
             except Exception:
                 pass  # the real dispatch will surface any compile error
 
@@ -1525,13 +1539,16 @@ def align_walk_gather_core_t(qblob4, tblob4, dcbits, meta, *, m_cap, n_cap,
 
 
 def align_walk_gather_core_rle_t(qblob4, tblob4, dcbits, meta, *, m_cap,
-                                 n_cap, w_band, match, mismatch, gap):
+                                 n_cap, w_band, match, mismatch, gap,
+                                 interpret=False):
     """align_walk_gather_core_t with the RLE walk (the stage-default
     payload): event bytes + escape flag, decoded by
     bindings.opstream_rle_to_ops_batch. Until round 4 the gather path
     only offered rows/packed2 payloads, which silently forced the
     production consensus dispatch onto the slowest walk (packed2) —
-    102 ms/dispatch at 640/128 B=4096 vs 7.3 ms for the dense rle body."""
+    102 ms/dispatch at 640/128 B=4096 vs 7.3 ms for the dense rle body.
+    The walk is pure jnp; interpret=True runs the sweep's interpret path
+    so the CPU suite can pin this core against the lane-major oracle."""
     qs, m, ts, n = meta[:, 0], meta[:, 1], meta[:, 2], meta[:, 3]
     W = w_band
     qT = _gather_nib_cols(qblob4, qs, m, m_cap, 0, PAD_CODE).astype(jnp.int32)
@@ -1544,7 +1561,7 @@ def align_walk_gather_core_rle_t(qblob4, tblob4, dcbits, meta, *, m_cap,
     dcpT = jnp.pad(dcT, ((W, W), (0, 0)))
     moves, score = nw_band_batch_t8(qT, tpT, dcpT, m_cap=m_cap, n_cap=n_cap,
                                     w_band=W, match=match, mismatch=mismatch,
-                                    gap=gap)
+                                    gap=gap, interpret=interpret)
     events, escaped = walk_moves_rle_t(
         moves, m, n, m_cap=m_cap, n_cap=n_cap, w_band=W,
         max_events=rle_events(m_cap, n_cap, W))
@@ -1574,7 +1591,8 @@ def align_walk_gather_batch(qblob4, tblob4, dcbits, meta, *, m_cap, n_cap,
     if fmt == "rle":
         return align_walk_gather_core_rle_t(
             qblob4, tblob4, dcbits, meta, m_cap=m_cap, n_cap=n_cap,
-            w_band=w_band, match=match, mismatch=mismatch, gap=gap)
+            w_band=w_band, match=match, mismatch=mismatch, gap=gap,
+            interpret=interpret)
     if not interpret and t_kernel_fits(m_cap, n_cap, w_band):
         return align_walk_gather_core_t(
             qblob4, tblob4, dcbits, meta, m_cap=m_cap, n_cap=n_cap,
@@ -1583,6 +1601,34 @@ def align_walk_gather_batch(qblob4, tblob4, dcbits, meta, *, m_cap, n_cap,
     return align_walk_gather_core(qblob4, tblob4, dcbits, meta, m_cap=m_cap,
                                   n_cap=n_cap, w_band=w_band, match=match,
                                   mismatch=mismatch, gap=gap, nw_fn=nw_fn)
+
+
+def gather_padded_bp(B: int, fixed_b, mesh_size: int) -> int:
+    """The padded batch dimension align_walk_gather_padded dispatches
+    with: next power of two (min 16), or fixed_b; always B_LANE-aligned
+    per mesh shard (the gather cores run the transposed kernels). The
+    consensus stage's gather-program prewarm MUST use this same function
+    (and gather_fmt) so the warmed jit keys match the real dispatch."""
+    if fixed_b is not None:
+        bp = max(fixed_b, B)
+    else:
+        bp = 16
+        while bp < B:
+            bp *= 2
+    unit = mesh_size * B_LANE
+    return -(-bp // unit) * unit
+
+
+def gather_fmt(m_cap: int, n_cap: int, w_band: int, interpret: bool,
+               bp: int) -> str:
+    """walk_fmt's stage policy restricted to the gather cores: both fused
+    walks require the small transposed sweep (no big-tier gather
+    variant), so a big-only tier falls back to the 2-bit step stream."""
+    fmt = walk_fmt(m_cap, n_cap, w_band, interpret, bp)
+    if fmt not in ("rows", "rle") or not t_kernel_fits(m_cap, n_cap,
+                                                       w_band):
+        fmt = "packed2"
+    return fmt
 
 
 def align_walk_gather_padded(qblob4_dev, tblob4_dev, dcbits_dev, meta, *,
@@ -1598,27 +1644,11 @@ def align_walk_gather_padded(qblob4_dev, tblob4_dev, dcbits_dev, meta, *,
 
     B = meta.shape[0]
     mesh = active_mesh()
-    if fixed_b is not None:
-        bp = max(fixed_b, B)
-    else:
-        bp = 16
-        while bp < B:
-            bp *= 2
-    # the transposed kernel tiles the batch in B_LANE lanes (and each mesh
-    # shard needs an equal, B_LANE-aligned slice)
-    unit = (mesh.devices.size if mesh is not None else 1) * B_LANE
-    bp = -(-bp // unit) * unit
+    bp = gather_padded_bp(B, fixed_b,
+                          mesh.devices.size if mesh is not None else 1)
     if bp != B:
         meta = np.pad(np.asarray(meta), ((0, bp - B), (0, 0)))
-    # walk_fmt's stage policy applies here too ("rle" default on real
-    # chips, RACON_TPU_WALK=rows opt-in); both fused walks require the
-    # small transposed sweep — the gather cores have no big-tier variant,
-    # so a big-only tier (t_big_fits without t_kernel_fits) falls back to
-    # the 2-bit step stream.
-    fmt = walk_fmt(m_cap, n_cap, w_band, interpret, bp)
-    if fmt not in ("rows", "rle") or not t_kernel_fits(m_cap, n_cap,
-                                                       w_band):
-        fmt = "packed2"
+    fmt = gather_fmt(m_cap, n_cap, w_band, interpret, bp)
     if mesh is not None:
         payload, score = sharded_align_walk_gather(
             mesh, qblob4_dev, tblob4_dev, dcbits_dev, meta, m_cap=m_cap,

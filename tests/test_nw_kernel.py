@@ -373,3 +373,77 @@ def test_bigtier_core_matches_row_core():
         np.testing.assert_array_equal(
             ops_b[int(off_b[i]) : int(off_b[i]) + int(cnt_b[i])],
             ops_r[int(off_r[i]) : int(off_r[i]) + int(cnt_r[i])])
+
+
+def test_gather_rle_core_matches_lane_major():
+    """align_walk_gather_core_rle_t — the stage-default payload path for
+    real-chip gather dispatches (gather_fmt auto returns "rle") — must
+    decode to the exact op lists of the lane-major gather core. Interpret
+    mode for both sweeps; the rle walk itself is pure jnp."""
+    import functools
+    import numpy as np
+    from racon_tpu.native import bindings
+    from racon_tpu.ops.nw_kernel import (
+        align_walk_gather_core, align_walk_gather_core_rle_t,
+        nw_band_batch, pack_bits_flat, pack_codes4_flat, rle_events,
+        walk_steps)
+
+    rng = np.random.default_rng(23)
+    cap, band, gap = 256, 128, -8
+    B = 128
+    # realistic consensus pairs (mutated copies): random-vs-random pairs
+    # with free-deletion columns drift along the band emitting one event
+    # per step, which legitimately blows the rle event budget — a payload
+    # property, not a bug; escapes fall back to the host in production
+    qparts, tparts = [], []
+    for _ in range(B):
+        tlen = int(rng.integers(60, cap))
+        t = rng.integers(0, 5, tlen).astype(np.int8)
+        q = t.copy()
+        for pos in rng.choice(tlen - 2, tlen // 10, replace=False):
+            q[pos] = rng.integers(0, 5)
+        nd = max(1, tlen // 40)
+        q = np.delete(q, rng.choice(len(q) - 2, nd, replace=False))
+        q = np.insert(q, rng.choice(len(q) - 2, nd, replace=False),
+                      rng.integers(0, 5, nd)).astype(np.int8)
+        qparts.append(q)
+        tparts.append(t)
+    lens_q = np.array([len(x) for x in qparts])
+    lens_t = np.array([len(x) for x in tparts])
+    qblob = np.concatenate(qparts)
+    tblob = np.concatenate(tparts)
+    dmask = rng.random(len(tblob)) < 0.3
+    qoff = np.concatenate([[0], np.cumsum(lens_q)])
+    toff = np.concatenate([[0], np.cumsum(lens_t)])
+    meta = np.stack([qoff[:-1], lens_q, toff[:-1], lens_t],
+                    axis=1).astype(np.int32)
+    kw = dict(m_cap=cap, n_cap=cap, w_band=band, match=5, mismatch=-4,
+              gap=gap)
+    q4, t4, db = (pack_codes4_flat(qblob), pack_codes4_flat(tblob),
+                  pack_bits_flat(dmask))
+    rle_p, rle_s = align_walk_gather_core_rle_t(q4, t4, db, meta,
+                                                interpret=True, **kw)
+    ref_p, ref_s = align_walk_gather_core(
+        q4, t4, db, meta,
+        nw_fn=functools.partial(nw_band_batch, interpret=True), **kw)
+    np.testing.assert_array_equal(np.asarray(rle_s), np.asarray(ref_s))
+    rle_p, ref_p = np.asarray(rle_p), np.asarray(ref_p)
+    # free-deletion columns let paths between random pairs drift to the
+    # band edge: those escape in BOTH formats (flags must agree); decoded
+    # ops must match on everything else
+    np.testing.assert_array_equal(rle_p[:, -1] != 0, ref_p[:, -1] != 0)
+    keep = np.flatnonzero(rle_p[:, -1] == 0)
+    assert len(keep) >= B // 2
+    m = meta[:, 1].astype(np.int64)
+    n = meta[:, 3].astype(np.int64)
+    ops_a, off_a, cnt_a = bindings.opstream_rle_to_ops_batch(
+        np.ascontiguousarray(rle_p[:, :-1]), rle_events(cap, cap, band),
+        m, n, 2)
+    ops_b, off_b, cnt_b = bindings.opstream_packed_to_ops_batch(
+        np.ascontiguousarray(ref_p[:, :-1]), walk_steps(cap, cap, band),
+        m, n, 2)
+    np.testing.assert_array_equal(cnt_a[keep], cnt_b[keep])
+    for i in keep:
+        np.testing.assert_array_equal(
+            ops_a[int(off_a[i]) : int(off_a[i]) + int(cnt_a[i])],
+            ops_b[int(off_b[i]) : int(off_b[i]) + int(cnt_b[i])])
