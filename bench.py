@@ -520,7 +520,16 @@ def _tunnel_probe():
             for _ in range(5):
                 np.asarray(f(x))
             best = min(best, (time.monotonic() - t0) / 5)
-        return {"sync_d2h_4mb_ms": round(best * 1e3, 1)}
+        out = {"sync_d2h_4mb_ms": round(best * 1e3, 1)}
+        # the value ROUTING saw (jaxenv.link_probe_ms feeds devgather /
+        # Myers-payload policy); may differ slightly from the stamp above
+        # (min-of-singles vs min-of-averaged-5)
+        from racon_tpu.utils import jaxenv
+
+        ms = jaxenv.link_probe_ms()
+        out["routing_probe_ms"] = None if ms is None else round(ms, 1)
+        out["slow_link_routing"] = jaxenv.slow_link()
+        return out
     except Exception as e:  # pragma: no cover
         return {"error": str(e)}
 

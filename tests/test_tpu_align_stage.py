@@ -111,29 +111,70 @@ def test_small_batch_auto_routes_to_host(tmp_path, monkeypatch):
 
 def test_tier_myers_payload_routing(monkeypatch):
     """Myers tier routing: interpret mode always scored; the payload-size
-    gate applies only behind a tunneled link (rows payloads are cap + 2
+    gate applies only on a measured-slow link (rows payloads are cap + 2
     bytes/item — 41 KB at the 40960 caps, which loses to the scored
     compact payloads on slow links); RACON_TPU_MYERS_PAYLOAD_MAX
-    overrides the threshold; RACON_TPU_MYERS=0 kills the kernel."""
+    overrides the threshold on slow links ONLY (fast attaches run Myers
+    regardless); RACON_TPU_MYERS=0 kills the kernel."""
     from racon_tpu.ops.align_stage_tpu import tier_myers
     from racon_tpu.utils import jaxenv
 
     assert not tier_myers(2560, 512, True)  # interpret -> scored path
 
-    monkeypatch.setattr(jaxenv, "tunneled_link", lambda: True)
+    monkeypatch.setattr(jaxenv, "slow_link", lambda: True)
     assert tier_myers(2560, 512, False)
     assert tier_myers(10240, 1024, False)
     assert not tier_myers(40960, 1024, False)   # 41 KB payload
     assert not tier_myers(40960, 4096, False)
 
-    monkeypatch.setattr(jaxenv, "tunneled_link", lambda: False)
-    assert tier_myers(40960, 1024, False)       # PCIe: Myers everywhere
+    monkeypatch.setattr(jaxenv, "slow_link", lambda: False)
+    assert tier_myers(40960, 1024, False)       # fast attach: Myers always
 
-    monkeypatch.setattr(jaxenv, "tunneled_link", lambda: True)
+    monkeypatch.setattr(jaxenv, "slow_link", lambda: True)
     monkeypatch.setenv("RACON_TPU_MYERS_PAYLOAD_MAX", "65536")
     assert tier_myers(40960, 1024, False)
     monkeypatch.setenv("RACON_TPU_MYERS_PAYLOAD_MAX", "1024")
     assert not tier_myers(2560, 512, False)
+    # the override only applies behind a slow link (ADVICE r4)
+    monkeypatch.setattr(jaxenv, "slow_link", lambda: False)
+    assert tier_myers(2560, 512, False)
+    monkeypatch.setattr(jaxenv, "slow_link", lambda: True)
     monkeypatch.delenv("RACON_TPU_MYERS_PAYLOAD_MAX")
     monkeypatch.setenv("RACON_TPU_MYERS", "0")
     assert not tier_myers(2560, 512, False)
+
+
+def test_link_probe_threshold_routing(monkeypatch):
+    """Routing keys on the MEASURED ms/4MB link probe (VERDICT r4 item 4):
+    both sides of the slow-link threshold, via the RACON_TPU_LINK_MS
+    override (no device needed), for slow_link itself, the Myers payload
+    gate, and the consensus stage's devgather auto decision."""
+    from racon_tpu.models.polish_model import PolisherConfig
+    from racon_tpu.ops.align_stage_tpu import tier_myers
+    from racon_tpu.ops.consensus_stage_tpu import TpuConsensusStage
+    from racon_tpu.utils import jaxenv
+
+    monkeypatch.delenv("RACON_TPU_DEVGATHER", raising=False)
+    cfg = PolisherConfig(backend="auto")
+    stage = TpuConsensusStage(cfg, interpret=False)
+
+    monkeypatch.setenv("RACON_TPU_LINK_MS", "5")   # fast side
+    assert not jaxenv.slow_link()
+    assert tier_myers(40960, 1024, False)
+    assert not stage._will_use_gather()
+
+    monkeypatch.setenv("RACON_TPU_LINK_MS", "100")  # slow side
+    assert jaxenv.slow_link()
+    assert not tier_myers(40960, 1024, False)
+    assert stage._will_use_gather()
+
+    # threshold itself is a knob
+    monkeypatch.setenv("RACON_TPU_SLOW_LINK_MS", "200")
+    assert not jaxenv.slow_link()
+
+    # forced devgather beats the probe
+    monkeypatch.delenv("RACON_TPU_SLOW_LINK_MS")
+    monkeypatch.setenv("RACON_TPU_DEVGATHER", "0")
+    assert not stage._will_use_gather()
+    monkeypatch.setenv("RACON_TPU_DEVGATHER", "1")
+    assert stage._will_use_gather()
