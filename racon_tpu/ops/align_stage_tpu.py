@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from . import prefetch
 from .consensus_stage_tpu import chunk_size
 from .nw_kernel import (align_walk_padded, encode, rle_events, walk_steps,
                         PAD_CODE)
@@ -260,9 +261,9 @@ class TpuAlignStage:
         done = [0]  # completed items, for honest 20-bin progress
 
         def _drain_one():
-            sel, cap, band, fmt, payload, hbm = pending.popleft()
+            sel, cap, band, fmt, payload, fut, hbm = pending.popleft()
             inflight[0] -= hbm
-            payload = np.asarray(payload)[: len(sel)]
+            payload = prefetch.resolve(payload, fut)[: len(sel)]
             escaped = payload[:, -1] != 0
             if fmt == "rows":
                 ops_flat, ops_off, counts = \
@@ -330,7 +331,11 @@ class TpuAlignStage:
                         prepacked=True)
                 if hasattr(payload, "copy_to_host_async"):
                     payload.copy_to_host_async()  # overlap D2H with compute
-                pending.append((sel, cap, band, fmt, payload, hbm))
+                # async fetch: a worker starts pulling the payload now, so
+                # the drain's fixed sync latencies overlap across chunks
+                # instead of summing on the stage thread (ops/prefetch.py)
+                fut = prefetch.submit(payload)
+                pending.append((sel, cap, band, fmt, payload, fut, hbm))
                 inflight[0] += hbm
         while pending:
             _drain_one()

@@ -30,6 +30,7 @@ import numpy as np
 import os
 
 from ..utils.phred import PHRED_OFFSET
+from . import prefetch
 from .nw_kernel import (align_walk_gather_padded, align_walk_padded,
                         device_put_blob, encode, pack_bits_flat,
                         pack_codes4_flat, rle_events, walk_steps, PAD_CODE)
@@ -102,7 +103,35 @@ class TpuConsensusStage:
     def __init__(self, cfg, interpret: bool):
         self.cfg = cfg
         self.interpret = interpret
-        self._dev_q = None
+
+    def _auto_cohorts(self, n_active: int, passes: int,
+                      gather_elems: int = 0) -> int:
+        """Cohort (pipeline-depth) policy: probe-adaptive depth (same-
+        session sweep at probe ~130 ms/4MB, benchmarks/
+        profile_fetch_ab.py r5: 495/751/1026/1115/1016 w/s at 1/2/3/4/6
+        cohorts with async prefetch) — a slow link wants one extra
+        cohort in flight to hide its longer D2H tail; fast attaches
+        measured best at 3 (1278/1453/1366 at 2/3/4, r2). When the
+        device-gather form will run, the cohort count also rises so each
+        cohort's layer blob stays under the int32 gather-index ceiling
+        (RACON_TPU_GATHER_BLOB_ELEMS, default 2^30 elements — headroom
+        under the hard 2^31). RACON_TPU_COHORTS forces."""
+        n_coh = 1
+        if not self.interpret and n_active >= 256 and passes >= 2:
+            from ..utils.jaxenv import slow_link
+
+            n_coh = 4 if slow_link() else 3
+        if gather_elems:
+            try:
+                cap_e = int(os.environ.get("RACON_TPU_GATHER_BLOB_ELEMS",
+                                           1 << 30))
+            except ValueError:
+                cap_e = 1 << 30
+            n_coh = max(n_coh, -(-gather_elems // max(1, cap_e)))
+        env_coh = os.environ.get("RACON_TPU_COHORTS")
+        if env_coh:
+            n_coh = int(env_coh)
+        return max(1, min(n_coh, max(1, n_active)))
 
     @classmethod
     def try_create(cls, cfg):
@@ -178,6 +207,86 @@ class TpuConsensusStage:
                        walk_fmt(cap, cap, wb, False, bp)))
         self._prewarm_specs = specs
         prewarm_tiers_async(specs)
+
+    def prewarm_polish(self, overlaps, target_total: int) -> None:
+        """Speculative GATHER-program prewarm during initialize (VERDICT
+        r5 item 2): gather programs key on blob BUCKET shapes that only
+        materialize at polish time, so prewarm_for cannot cover them.
+        But every component of the jit key is predictable from data in
+        hand once the overlap set is parsed — before the align stage
+        runs, which is most of initialize:
+          - per-cohort layer-blob bucket: sum of overlap query spans,
+            split by the cohort policy, nibble-packed, pow2-bucketed;
+          - backbone/deletion-cost buckets: target length per cohort
+            (round 1; one extra doubling covers refinement expansion);
+          - chunk batch: per-cohort item-count estimate (target spans /
+            window length) through the same pow2 padding the dispatch
+            uses (gather_padded_bp).
+        Estimates near a pow2 boundary warm both sides; a mispredicted
+        bucket just compiles at first dispatch like before (concurrent,
+        cold cost = max not sum). Windows with <2 layers and the depth
+        cap shave a few % off the real sizes — inside bucket resolution
+        at genome scale."""
+        if self.interpret or not self._will_use_gather():
+            return
+        from ..parallel.mesh import active_mesh
+        from .nw_kernel import (blob_bucket, gather_fmt, gather_padded_bp,
+                                prewarm_gather_async)
+
+        if active_mesh() is not None:
+            return
+        cfg = self.cfg
+        w = max(1, cfg.window_length)
+        tspan = (np.asarray(overlaps.t_end, np.int64)
+                 - np.asarray(overlaps.t_begin, np.int64))
+        qspan = (np.asarray(overlaps.q_end, np.int64)
+                 - np.asarray(overlaps.q_begin, np.int64))
+        n_items = int((tspan // w).sum()) + len(tspan)
+        q_elems = int(qspan.sum())
+        if n_items <= 0 or q_elems <= 0:
+            return
+        n_active = max(1, min(int(target_total // w) + 1, n_items))
+        passes = max(1, cfg.refine_passes)
+        n_coh = self._auto_cohorts(n_active, passes, gather_elems=q_elems)
+
+        def _buckets(elems, pack):
+            b = blob_bucket(-(-elems // pack))
+            out = {b}
+            if blob_bucket(-(-int(elems * 1.15) // pack)) != b:
+                out.add(b * 2)  # estimate sits near the bucket boundary
+            return out
+
+        qlens = _buckets(-(-q_elems // n_coh), 2)
+        t_len = max(1, int(target_total) // n_coh)
+        tpairs = {(blob_bucket(-(-L // 2)), blob_bucket(-(-L // 8)))
+                  for L in (t_len, 2 * t_len)}
+
+        tiers = []
+        for cap, wb in _TIERS:
+            if cap >= cfg.window_length + 8:
+                tiers.append((cap, wb))
+            if len(tiers) >= 2:
+                break
+        gspecs = set()
+        # ~all items land in the base tier; the wide sibling catches the
+        # high-drift tail (escape share estimated at ~10%)
+        for frac, (cap, wb) in zip((1.0, 0.1), tiers):
+            k_est = max(1, int(n_items * frac) // n_coh)
+            step = _chunk_size(cap, wb)
+            fixed_b = step if cap >= 5120 else None
+            bps = set()
+            for kk in (k_est, int(k_est * 0.8), int(k_est * 1.25)):
+                kk = max(1, min(kk, step))
+                bps.add(gather_padded_bp(kk, fixed_b, 1))
+            if k_est > step:
+                bps.add(gather_padded_bp(step, fixed_b, 1))
+            for bp in bps:
+                fmt = gather_fmt(cap, cap, wb, False, bp)
+                for ql in qlens:
+                    for tl, dl in tpairs:
+                        gspecs.add((ql, tl, dl, bp, cap, cap, wb,
+                                    cfg.match, cfg.mismatch, cfg.gap, fmt))
+        prewarm_gather_async(gspecs)
 
     # measured routing constants (BENCH_LEDGER r3, 2-core tunneled host):
     # device steady-state ~750 windows/s at 4 refine passes; native host
@@ -283,22 +392,23 @@ class TpuConsensusStage:
         st = _StaticItems(windows, active,
                           depth_cap=max(1, cfg.max_window_depth))
 
-        # optional device-resident layer blob (uploaded ONCE; each refinement
-        # pass then ships only backbones + per-item metadata, and the dense
-        # row matrices are gathered on device). Default: AUTO — on behind
-        # a tunneled link, off on local attaches. The round-3 gather form
-        # measured ~20x slower than host row packing + H2D (element-wise
-        # byte gathers, 72 ms of a 102 ms dispatch); the round-4 word-wise
-        # gathers + rle gather walk cut the dispatch to 13.8 ms — still
-        # ~2x the dense device body (7.3 ms), so a local attach (uplink
-        # ~1 ms/MB) keeps the dense path, but a tunneled link (uplink
-        # 25-800 ms/MB session-dependent) saves ~2.8 MB of per-chunk
-        # uplink at 640/128x4096, which dominates. RACON_TPU_DEVGATHER=0/1
-        # forces. int32 gather indices bound the blob to 2^31 elements.
-        self._dev_q = None
-        if self._will_use_gather() and st.lay_off[-1] < 2**31:
-            self._dev_q = device_put_blob(pack_codes4_flat(st.lay_codes),
-                                          pad_value=0x55)
+        # device-resident layer blobs are per-COHORT (uploaded once each;
+        # refinement passes then ship only backbones + per-item metadata,
+        # and the dense row matrices are gathered on device). Default:
+        # AUTO — on behind a measured-slow link, off on local attaches.
+        # The round-3 gather form measured ~20x slower than host row
+        # packing + H2D (element-wise byte gathers, 72 ms of a 102 ms
+        # dispatch); the round-4 word-wise gathers + rle gather walk cut
+        # the dispatch to 13.8 ms — still ~2x the dense device body
+        # (7.3 ms), so a local attach (uplink ~1 ms/MB) keeps the dense
+        # path, but a slow link (uplink 25-800 ms/MB session-dependent)
+        # saves ~2.8 MB of per-chunk uplink at 640/128x4096, which
+        # dominates. RACON_TPU_DEVGATHER=0/1 forces. int32 gather indices
+        # bound EACH cohort's blob to 2^31 elements; _auto_cohorts raises
+        # the cohort count so genome-scale workloads stay under it
+        # (VERDICT r5 item 3 — the r4 code silently fell back to the
+        # dense uplink past 2^31, ~100 Mb x 20x).
+        use_gather = self._will_use_gather()
 
         # refinement state per active window
         gap = cfg.gap
@@ -328,16 +438,9 @@ class TpuConsensusStage:
         # other half of the round) runs while the other cohort's device
         # dispatch is in flight. The reference's fill/process loop plays
         # this role for its GPU batches (src/cuda/cudapolisher.cpp:83-144).
-        n_coh = 1
-        if not self.interpret and len(active) >= 256 and passes >= 2:
-            # measured best on v5e: 1278/1453/1366 wps at 2/3/4. Cohorts
-            # compose with the device-gather form too: each cohort round
-            # builds its own backbone blob; the shared layer blob
-            # (self._dev_q) is read-only.
-            n_coh = 3
-        env_coh = os.environ.get("RACON_TPU_COHORTS")
-        if env_coh:
-            n_coh = max(1, min(int(env_coh), len(active)))
+        n_coh = self._auto_cohorts(
+            len(active), passes,
+            gather_elems=int(st.lay_off[-1]) if use_gather else 0)
 
         class _Cohort:
             pass
@@ -355,6 +458,14 @@ class TpuConsensusStage:
             else:
                 co.st = st.subset(np.arange(bounds[ci], bounds[ci + 1]))
                 co.state = _RoundState(windows, part, gap)
+            co.dev_q = None
+            if use_gather:
+                # per-cohort device blob, compact offsets (stable across
+                # in-cohort retirement subsets, which carry lay_start_dev)
+                co.st.rebase_dev()
+                if co.st.lay_off[-1] < 2**31:  # pathological skew guard
+                    co.dev_q = device_put_blob(
+                        pack_codes4_flat(co.st.lay_codes), pad_value=0x55)
             cohorts.append(co)
 
         pend = [None] * len(cohorts)
@@ -364,7 +475,8 @@ class TpuConsensusStage:
         for ci, co in enumerate(cohorts):
             t0 = time.perf_counter()
             pend[ci] = self._round_dispatch(windows, cfg, co.active, co.st,
-                                            co.state, max_expand, bindings)
+                                            co.state, max_expand, bindings,
+                                            co.dev_q)
             self.prof["dispatch_s"] += time.perf_counter() - t0
         while any(p is not None for p in pend):
             for ci, co in enumerate(cohorts):
@@ -399,7 +511,7 @@ class TpuConsensusStage:
                     t0 = time.perf_counter()
                     pend[ci] = self._round_dispatch(
                         windows, cfg, co.active, co.st, co.state, max_expand,
-                        bindings)
+                        bindings, co.dev_q)
                     self.prof["dispatch_s"] += time.perf_counter() - t0
         logger.bar_progress("[racon::Polisher::polish] generating consensus",
                             total_units, total_units)
@@ -408,7 +520,7 @@ class TpuConsensusStage:
     # ------------------------------------------------------------------ #
 
     def _round_dispatch(self, windows, cfg, active, st, state, max_expand,
-                        bindings):
+                        bindings, dev_q=None):
         """First half of a refinement round: per-round state prep, tier
         bucketing, and the (async) device dispatches. Returns the round
         context consumed by _round_complete — between the two calls the
@@ -471,7 +583,7 @@ class TpuConsensusStage:
         # kick off concurrent AOT compiles for every tier this round uses:
         # a cold process then pays max(tier ingest) instead of the sum
         # (single-device path only — the mesh path keys its own programs)
-        if not self.interpret and self._dev_q is None:
+        if not self.interpret and dev_q is None:
             from ..parallel.mesh import active_mesh
             from .nw_kernel import (padded_batch, prewarm_tiers_async,
                                     walk_fmt)
@@ -494,7 +606,7 @@ class TpuConsensusStage:
         # 3. device alignment: one fused align+walk dispatch per chunk; all
         # chunks are dispatched before any result is fetched so H2D, compute
         # and D2H pipeline across chunks (async dispatch)
-        use_gather = self._dev_q is not None and len(cur_blob) < 2**31
+        use_gather = dev_q is not None and len(cur_blob) < 2**31
         if use_gather:
             # per-pass blobs on device, once, shared by every chunk
             dev_t = device_put_blob(pack_codes4_flat(cur_enc),
@@ -521,7 +633,7 @@ class TpuConsensusStage:
                                   for c0 in range(0, k, step)}:
                             bp = gather_padded_bp(b, fixed_b, 1)
                             fmt = gather_fmt(cap, cap, wb, False, bp)
-                            gspecs.add((self._dev_q.shape[0],
+                            gspecs.add((dev_q.shape[0],
                                         dev_t.shape[0], dev_dc.shape[0],
                                         bp, cap, cap, wb, cfg.match,
                                         cfg.mismatch, gap, fmt))
@@ -540,7 +652,7 @@ class TpuConsensusStage:
                         [st.lay_start_dev[sel], mlen[sel], t_start[sel],
                          nlen[sel]], axis=1).astype(np.int32)
                     payload, _, fmt = align_walk_gather_padded(
-                        self._dev_q, dev_t, dev_dc, meta, m_cap=cap,
+                        dev_q, dev_t, dev_dc, meta, m_cap=cap,
                         n_cap=cap, w_band=w_band, match=cfg.match,
                         mismatch=cfg.mismatch, gap=gap,
                         interpret=self.interpret, fixed_b=fixed_b)
@@ -562,7 +674,19 @@ class TpuConsensusStage:
                         prepacked=True)
                 if hasattr(payload, "copy_to_host_async"):
                     payload.copy_to_host_async()  # overlap D2H with compute
-                pending.append((sel, cap, w_band, fmt, payload))
+                # ASYNC fetch: start pulling the payload to host NOW on a
+                # worker thread (np.asarray releases the GIL during the
+                # transfer). On a degraded link every blocking fetch pays
+                # a ~200-300 ms fixed sync round trip; fetched inline in
+                # _round_complete those latencies SUM on the host thread
+                # (12 fetches x ~0.3 s was the whole r4 regression,
+                # VERDICT r5 item 1) — prefetched here they overlap each
+                # other, the device compute, and the other cohorts' host
+                # merges. The reference's producer/consumer batch overlap
+                # plays this role for its CUDA batches
+                # (src/cuda/cudapolisher.cpp:83-144,254-333).
+                fut = prefetch.submit(payload)
+                pending.append((sel, cap, w_band, fmt, payload, fut))
         return dict(active=active, st=st, state=state, max_expand=max_expand,
                     n_items=n_items, cur_blob=cur_blob, bb_off=bb_off,
                     lens=lens, curw_blob=curw_blob, del32=del32, sb=sb,
@@ -610,9 +734,9 @@ class TpuConsensusStage:
         ops_blob = buf[:need].reshape(-1, 2)
         fetch_s = 0.0
         _t_dec = time.perf_counter()
-        for sel, cap, w_band, fmt, payload in ctx["pending"]:
+        for sel, cap, w_band, fmt, payload, fut in ctx["pending"]:
             tf = time.perf_counter()
-            payload = np.asarray(payload)[: len(sel)]
+            payload = prefetch.resolve(payload, fut)[: len(sel)]
             fetch_s += time.perf_counter() - tf
             escaped = payload[:, -1] != 0
             if fmt == "rows":
@@ -835,6 +959,14 @@ class _StaticItems:
         s.win_id = self.win_id[keep_z]
         s.win_rank = self.win_rank[keep_z]
         return s
+
+    def rebase_dev(self) -> None:
+        """Make lay_start_dev the offsets into THIS item set's compact
+        blob (rather than the construction-time parent blob): called
+        right before the compact blob is uploaded as a cohort's device-
+        resident copy. Later retirement subsets carry these values, so
+        they keep addressing the uploaded blob correctly."""
+        self.lay_start_dev = self.lay_off[:-1].copy()
 
 
 class _RoundState:

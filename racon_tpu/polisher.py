@@ -226,6 +226,27 @@ class Polisher:
         stage = get_align_stage(self.config)
 
         w = self.config.window_length
+
+        # overlap-informed GATHER-program prewarm: every gather jit-key
+        # component is predictable from the overlap set + target length,
+        # so their per-process ingest can ride the align stage (the long
+        # half of initialize) — see TpuConsensusStage.prewarm_polish.
+        # Daemon thread: stage creation can block on backend init.
+        import threading
+
+        def _kick_gather():
+            try:
+                from .backends import get_consensus_stage
+
+                cstage = get_consensus_stage(self.config)
+                if hasattr(cstage, "prewarm_polish"):
+                    tt = int(self.sequences.data_off[self.targets_size])
+                    cstage.prewarm_polish(overlaps, tt)
+            except Exception:
+                pass
+
+        threading.Thread(target=_kick_gather, daemon=True).start()
+
         out: list[np.ndarray | None] = [None] * len(overlaps)
         need_align: list[int] = []
         for i in range(len(overlaps)):

@@ -85,6 +85,37 @@ def test_tpu_stage_polish_quality(tmp_path):
     assert d <= 8
 
 
+def test_gather_form_per_cohort_blobs_match_dense(tmp_path, monkeypatch):
+    """RACON_TPU_DEVGATHER=1 routes through the device-resident gather
+    dispatch; r5 made the layer blob per-COHORT (compact offsets via
+    rebase_dev) to break the 2^31 gather-index ceiling. Forced 2-cohort
+    gather output must match the dense-path output byte-for-byte (same
+    kernel semantics, different uplink form)."""
+    p, cfg, true = _build_windows(tmp_path, seed=11)
+    cfg_tpu = PolisherConfig(**{**cfg.__dict__, "backend": "tpu"})
+    tpu = TpuConsensusStage.try_create(cfg_tpu)
+    assert tpu is not None
+
+    monkeypatch.setenv("RACON_TPU_DEVGATHER", "0")
+    want_cons, want_pol = tpu.consensus_windows(p.windows, cfg_tpu, Logger())
+
+    monkeypatch.setenv("RACON_TPU_DEVGATHER", "1")
+    monkeypatch.setenv("RACON_TPU_COHORTS", "2")
+    got_cons, got_pol = tpu.consensus_windows(p.windows, cfg_tpu, Logger())
+
+    assert got_pol == want_pol
+    assert got_cons == want_cons
+
+    # a tiny per-cohort element cap must force MORE cohorts (the 2^31
+    # ceiling scaled down) and still reproduce the same bytes
+    monkeypatch.delenv("RACON_TPU_COHORTS")
+    monkeypatch.setenv("RACON_TPU_GATHER_BLOB_ELEMS", "512")
+    got_cons2, got_pol2 = tpu.consensus_windows(p.windows, cfg_tpu,
+                                                Logger())
+    assert got_pol2 == want_pol
+    assert got_cons2 == want_cons
+
+
 def test_accelerator_depth_cap_and_band_knobs():
     """--max-window-depth caps layers per window on the accelerator path
     (reference GPU MAX_DEPTH_PER_WINDOW, src/cuda/cudapolisher.cpp:226);
