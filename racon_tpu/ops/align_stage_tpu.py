@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 
 from . import prefetch
-from .consensus_stage_tpu import chunk_size
+from .consensus_stage_tpu import chunk_plan, chunk_size
 from .nw_kernel import (align_walk_padded, encode, rle_events, walk_steps,
                         PAD_CODE)
 
@@ -229,9 +229,9 @@ class TpuAlignStage:
                     if k == 0:
                         continue
                     step = _chunk_size(cap, band)
-                    fixed_b = step if cap >= 5120 else None
-                    for b in {min(step, k - c0) for c0 in range(0, k, step)}:
-                        bp = padded_batch(b, fixed_b, False, 1)
+                    for lo, hi, cbp in chunk_plan(k, step, False):
+                        fixed_b = step if cap >= 5120 else cbp
+                        bp = padded_batch(hi - lo, fixed_b, False, 1)
                         fmt = ("myers" if _tier_myers(cap, band)
                                else walk_fmt(cap, cap, band, False, bp))
                         specs.add((cap, band, bp, 0, -1, -1, fmt))
@@ -299,8 +299,9 @@ class TpuAlignStage:
             # the device traceback's early-exit while_loop finishes sooner
             members = members[np.argsort(mlen[members], kind="stable")]
             step = _chunk_size(cap, band)
-            for c0 in range(0, len(members), step):
-                sel = members[c0 : c0 + step]
+            for lo, hi, cbp in chunk_plan(len(members), step,
+                                          self.interpret):
+                sel = members[lo:hi]
                 hbm = _chunk_hbm(cap, band, len(sel))
                 while pending and inflight[0] + hbm > _HBM_INFLIGHT:
                     _drain_one()
@@ -315,7 +316,7 @@ class TpuAlignStage:
                         q4, t4, mlen[sel].astype(np.int32),
                         nlen[sel].astype(np.int32), m_cap=cap, n_cap=cap,
                         w_band=band,
-                        fixed_b=step if cap >= 5120 else None)
+                        fixed_b=step if cap >= 5120 else cbp)
                 else:
                     # unit deletion costs everywhere: an all-ones bitmask
                     dcb = np.full((len(sel), cap // 8), 0xFF, np.uint8)
@@ -326,8 +327,9 @@ class TpuAlignStage:
                         interpret=self.interpret,
                         # one compiled shape per big tier: a fresh big-tier
                         # compile costs minutes, padding a short chunk
-                        # does not
-                        fixed_b=step if cap >= 5120 else None,
+                        # does not; small tiers pad to the canonical
+                        # _BP_LADDER batch (chunk_plan)
+                        fixed_b=step if cap >= 5120 else cbp,
                         prepacked=True)
                 if hasattr(payload, "copy_to_host_async"):
                     payload.copy_to_host_async()  # overlap D2H with compute

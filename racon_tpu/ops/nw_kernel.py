@@ -1406,8 +1406,12 @@ def _gather_nib_rows(blob4, start, length, cap: int, fill: int):
     idx = start[:, None].astype(jnp.int32) + pos
     valid = pos < length[:, None]
     idxc = jnp.where(valid, idx, 0)
-    byte = blob4[idxc >> 1]
-    code = (byte >> ((idxc & 1) << 2)) & 0xF
+    if blob4.dtype in (jnp.int32, jnp.uint32):  # word-form blob
+        word = blob4[idxc >> 3]
+        code = (word >> ((idxc & 7) << 2)) & 0xF
+    else:
+        byte = blob4[idxc >> 1]
+        code = (byte >> ((idxc & 1) << 2)) & 0xF
     return jnp.where(valid, code, fill).astype(jnp.int8)
 
 
@@ -1437,13 +1441,25 @@ def align_walk_gather_core(qblob4, tblob4, dcbits, meta, *, m_cap, n_cap,
 
 
 def _blob_words32(blob8):
-    """(L,) uint8 blob -> (ceil(L / 4),) int32 words (little-endian).
-    device_put_blob buckets are powers of two >= 4096 (no pad copy on the
-    production path); raw test blobs get a static-shape tail pad."""
+    """(L,) uint8 blob -> (ceil(L / 4),) int32 words (little-endian);
+    int32 input passes through (the production path: device_put_blob
+    words=True uploads the word form directly, so no per-dispatch
+    conversion exists at all).
+
+    The conversion here exists for raw uint8 test blobs only, and is
+    formulated as strided slices + shifts on 1-D arrays: the previous
+    bitcast via a (L/4, 4) reshape acquired a (8,128)-tiled layout whose
+    minor dim padded 4 -> 128, i.e. a 32x HBM blow-up that OOMed the
+    chip at the 2^27 blob bucket (a 50 Mb x 20x genome: 16 GB temp for a
+    512 MB blob)."""
+    if blob8.dtype in (jnp.int32, jnp.uint32):
+        return blob8.astype(jnp.int32)
     L = blob8.shape[0]
     if L % 4:
         blob8 = jnp.pad(blob8, (0, 4 - L % 4))
-    return jax.lax.bitcast_convert_type(blob8.reshape(-1, 4), jnp.int32)
+    b = blob8.astype(jnp.uint32)
+    w = (b[0::4] | (b[1::4] << 8) | (b[2::4] << 16) | (b[3::4] << 24))
+    return w.astype(jnp.int32)
 
 
 def _lsr32(x, s):
@@ -1663,16 +1679,24 @@ def align_walk_gather_padded(qblob4_dev, tblob4_dev, dcbits_dev, meta, *,
 
 
 def device_put_blob(arr: np.ndarray, bucket_min: int = 1 << 12,
-                    pad_value: int = 0):
+                    pad_value: int = 0, words: bool = False):
     """Pad a flat blob to its power-of-two bucket and place it on device
     (replicated over the active mesh when one exists). Returns the device
-    array; per-call uplink then carries only the small metadata."""
+    array; per-call uplink then carries only the small metadata.
+
+    words=True uploads the blob as little-endian int32 WORDS (a free
+    host-side view; buckets are multiples of 4): the word-wise gather
+    cores consume exactly this form, and uploading it directly removes
+    the per-dispatch uint8->word conversion whose padded-layout temp
+    OOMed at genome-scale blob buckets (see _blob_words32)."""
     import jax as _jax
     from ..parallel.mesh import active_mesh
 
     n = blob_bucket(len(arr), bucket_min)
     if n != len(arr):
         arr = np.pad(arr, (0, n - len(arr)), constant_values=pad_value)
+    if words:
+        arr = arr.view(np.int32)
     mesh = active_mesh()
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

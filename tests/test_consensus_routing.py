@@ -135,3 +135,34 @@ def test_forced_host_route_keeps_quality(tmp_path, monkeypatch):
     d_base = bindings.edit_distance(base[0][1], true.tobytes())
     d_routed = bindings.edit_distance(routed[0][1], true.tobytes())
     assert d_routed <= max(4, d_base + 2), (d_routed, d_base)
+
+
+def test_chunk_plan_canonical_ladder():
+    """chunk_plan equalizes chunk sizes (no tiny remainder dispatch) and
+    quantizes real-chip padded batches to the canonical ladder, so the
+    per-tier program set is enumerable before any data exists (the r5
+    gather-prewarm contract)."""
+    from racon_tpu.ops.consensus_stage_tpu import _BP_LADDER, chunk_plan
+
+    # covers [0, k) exactly, in order, for many k/step combos
+    for k in (1, 5, 1023, 1024, 1025, 4097, 8192, 8193, 47321, 100000):
+        for step in (1024, 6553, 8192):
+            plan = chunk_plan(k, step, False)
+            assert plan[0][0] == 0 and plan[-1][1] == k
+            assert all(a[1] == b[0] for a, b in zip(plan, plan[1:]))
+            sizes = [hi - lo for lo, hi, _ in plan]
+            # equalized: no tiny remainder chunk (deviation < n_chunks)
+            assert max(sizes) - min(sizes) < max(2, len(plan))
+            for lo, hi, bp in plan:
+                assert bp is not None and bp >= hi - lo
+                assert bp in _BP_LADDER or bp == step
+
+    # k > step: every chunk lands on the SAME ladder size (step's pow2)
+    plan = chunk_plan(47321, 8192, False)
+    assert {bp for _, _, bp in plan} == {8192}
+    # small rounds quantize up, never below the ladder floor
+    assert chunk_plan(37, 8192, False) == [(0, 37, 1024)]
+    assert chunk_plan(3000, 8192, False) == [(0, 3000, 4096)]
+    # interpret mode: exact sizes, bp deferred (None)
+    assert chunk_plan(3000, 8192, True) == [(0, 3000, None)]
+    assert chunk_plan(0, 8192, False) == []
