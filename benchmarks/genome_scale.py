@@ -50,6 +50,8 @@ def make_dataset(workdir, genome_bp, read_len, coverage, err, seed=11,
     genome interval) for fragment-correction (kF) benchmarking."""
     rng = np.random.default_rng(seed)
     true = rng.choice(ACGT, genome_bp)
+    with open(os.path.join(workdir, "true.fasta"), "wb") as f:
+        f.write(b">true\n" + true.tobytes() + b"\n")
 
     # draft: ~0.7% subs + 0.3% dels
     draft = true.copy()
@@ -182,6 +184,10 @@ def main():
                     help="override the consensus refinement pass count "
                     "(speed/quality dial; default = PolisherConfig's)")
     ap.add_argument("--workdir", default="/tmp/racon_tpu_genome_scale")
+    ap.add_argument("--reuse-data", action="store_true",
+                    help="skip dataset synthesis when the workdir already "
+                    "holds reads/ovl/draft/true files from the same "
+                    "parameters (synthesis is deterministic per seed)")
     ap.add_argument("--verbose", action="store_true",
                     help="show the per-stage logger timers on stderr")
     ap.add_argument("--repeat", type=int, default=1,
@@ -193,10 +199,15 @@ def main():
     os.makedirs(a.workdir, exist_ok=True)
     genome_bp = int(a.genome_mb * 1e6)
     t0 = time.time()
-    true = make_dataset(a.workdir, genome_bp, a.read_len, a.coverage,
-                        a.error, mix=PROFILES[a.profile],
-                        chimeric_frac=a.chimeric_frac,
-                        ava=(a.mode == "kf"))
+    tf = os.path.join(a.workdir, "true.fasta")
+    if a.reuse_data and os.path.exists(tf):
+        with open(tf, "rb") as f:
+            true = np.frombuffer(f.read().split(b"\n")[1], np.uint8)
+    else:
+        true = make_dataset(a.workdir, genome_bp, a.read_len, a.coverage,
+                            a.error, mix=PROFILES[a.profile],
+                            chimeric_frac=a.chimeric_frac,
+                            ava=(a.mode == "kf"))
     print(f"dataset (SYNTHETIC): {genome_bp/1e6:.1f} Mb genome, "
           f"{a.coverage}x {a.read_len} bp reads, {a.error:.0%} error "
           f"({a.profile} mix, chimeric {a.chimeric_frac:.0%}, "
@@ -303,17 +314,25 @@ def main():
         t3 = time.time()
         d = bindings.edit_distance(polished, true.tobytes())
         ident = 100.0 * (1.0 - d / len(true))
-        with open(os.path.join(a.workdir, "draft.fasta"), "rb") as f:
-            draft = f.read().split(b"\n", 1)[1].replace(b"\n", b"")
-        d_draft = bindings.edit_distance(draft, true.tobytes())
-        ident_draft = 100.0 * (1.0 - d_draft / len(true))
-        print(f"consensus identity vs truth: {ident:.4f}% (edit {d}; "
-              f"draft {ident_draft:.4f}%/{d_draft}; "
-              f"metric {time.time()-t3:.0f}s)", flush=True)
         rec.update({"edit_vs_truth": int(d),
-                    "identity_pct": round(ident, 4),
-                    "draft_edit": int(d_draft),
-                    "draft_identity_pct": round(ident_draft, 4)})
+                    "identity_pct": round(ident, 4)})
+        # the DRAFT's exact edit distance is O(n * d) with d ~ 1% of the
+        # genome — fine at E. coli scale, hours at 50 Mb+. The draft
+        # error rate is a known generator constant (~1%), so skip the
+        # metric at scale rather than approximate it.
+        if genome_bp <= 10_000_000:
+            with open(os.path.join(a.workdir, "draft.fasta"), "rb") as f:
+                draft = f.read().split(b"\n", 1)[1].replace(b"\n", b"")
+            d_draft = bindings.edit_distance(draft, true.tobytes())
+            ident_draft = 100.0 * (1.0 - d_draft / len(true))
+            draft_note = f"draft {ident_draft:.4f}%/{d_draft}; "
+            rec.update({"draft_edit": int(d_draft),
+                        "draft_identity_pct": round(ident_draft, 4)})
+        else:
+            draft_note = "draft metric skipped (O(n*d) at ~1% error); "
+        print(f"consensus identity vs truth: {ident:.4f}% (edit {d}; "
+              f"{draft_note}"
+              f"metric {time.time()-t3:.0f}s)", flush=True)
     art = os.environ.get("RACON_TPU_GENOME_SCALE_OUT", "")
     if art:
         with open(art, "w") as f:
