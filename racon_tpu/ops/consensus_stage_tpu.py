@@ -392,9 +392,12 @@ class TpuConsensusStage:
             "RACON_TPU_CONS_HOST_WPS",
             self.HOST_WPS_PER_THREAD * eff_thr))
         if self._will_use_gather():
-            # gather-form programs key on blob buckets and warm only at
-            # dispatch time: the warm signal is "this process already
-            # compiled its gather programs" (a prior polish run)
+            # gather-form programs key on blob buckets; since r5 they
+            # warm speculatively DURING initialize (prewarm_polish
+            # predicts the bucket ladder), so the warm signal — every
+            # launched gather program finished ingesting — now turns
+            # true for one-shot runs too, not just after a prior polish
+            # (ADVICE r4 item 2)
             from .nw_kernel import gather_prewarm_done
 
             warm = gather_prewarm_done()
