@@ -30,8 +30,12 @@ def main(n_reads=300, reps=3):
     probe0 = jaxenv.link_probe_ms()
     print(f"probe at start: {probe0:.1f} ms/4MB")
 
-    arms = (("scored-rle", {"RACON_TPU_MYERS_PAYLOAD_MAX": "1024"}),
-            ("myers-rows", {"RACON_TPU_MYERS_PAYLOAD_MAX": "65536"}))
+    arms = (("scored-rle", {"RACON_TPU_MYERS": "0",
+                            "RACON_TPU_MYERS_PAYLOAD_MAX": "1024"}),
+            ("myers-rows", {"RACON_TPU_MYERS": "1",
+                            "RACON_TPU_MYERS_PAYLOAD_MAX": "65536"}),
+            ("myers-rle", {"RACON_TPU_MYERS": "1",
+                           "RACON_TPU_MYERS_PAYLOAD_MAX": "1024"}))
     results = {name: [] for name, _ in arms}
     for rep in range(reps):
         for name, env in arms:
@@ -42,6 +46,7 @@ def main(n_reads=300, reps=3):
             if rep == 0:
                 print(f"  [{name}] cold={out['device_cold_seconds']:.2f}s")
     os.environ.pop("RACON_TPU_MYERS_PAYLOAD_MAX", None)
+    os.environ.pop("RACON_TPU_MYERS", None)
     for name, _ in arms:
         best = min(results[name])
         print(f"{name:11s} best={best:6.3f}s "

@@ -37,6 +37,43 @@ def _chunk_size(cap: int, band: int) -> int:
     return chunk_size(cap, band, 1024)
 
 
+def myers_tier_fmt(cap: int, band: int, interpret: bool):
+    """Myers routing as a payload-format decision:
+      "rows"      — Myers sweep + row-record walk (fastest device path;
+                    payload cap + 2 B/item). Fast attaches always; slow
+                    links while the payload fits the byte threshold.
+      "myers_rle" — Myers sweep + plane->move transform + the scored rle
+                    walk (payload ~cap/4 B/item, identical to the scored
+                    rle path; ops/myers_kernel.py "compact-payload walk
+                    path"). Slow links at long caps, where the rows
+                    payload's D2H bytes invert the stage outcome.
+      None        — scored sweep (interpret mode, ineligible shapes, or
+                    RACON_TPU_MYERS=0 / RACON_TPU_MYERS_RLE=0 opt-outs).
+    """
+    import os
+
+    from ..utils.jaxenv import slow_link
+    from .myers_kernel import myers_fits, sweep_rows_g
+
+    if interpret or not myers_fits(cap, cap, band):
+        return None
+    if not slow_link():
+        return "rows"
+    limit = 16 << 10
+    v = os.environ.get("RACON_TPU_MYERS_PAYLOAD_MAX")
+    if v is not None:
+        try:
+            limit = int(v)
+        except ValueError:
+            pass  # malformed override: keep the default threshold
+    if cap + 2 <= limit:
+        return "rows"
+    if (os.environ.get("RACON_TPU_MYERS_RLE", "1") != "0"
+            and sweep_rows_g(cap, band) % 16 == 0):
+        return "myers_rle"
+    return None
+
+
 def tier_myers(cap: int, band: int, interpret: bool) -> bool:
     """Tier routing for the Myers bit-parallel align kernel. Myers wins
     on pure device time at EVERY tier (7.4-11.9x, docs/PERF.md), but its
@@ -51,23 +88,7 @@ def tier_myers(cap: int, band: int, interpret: bool) -> bool:
     RACON_TPU_MYERS_PAYLOAD_MAX overrides the byte threshold on slow
     links only (fast attaches run Myers regardless, where the payload
     cost is noise); RACON_TPU_MYERS=0 disables the kernel entirely."""
-    import os
-
-    from ..utils.jaxenv import slow_link
-    from .myers_kernel import myers_fits
-
-    if interpret or not myers_fits(cap, cap, band):
-        return False
-    if not slow_link():
-        return True
-    limit = 16 << 10
-    v = os.environ.get("RACON_TPU_MYERS_PAYLOAD_MAX")
-    if v is not None:
-        try:
-            limit = int(v)
-        except ValueError:
-            pass  # malformed override: keep the default threshold
-    return cap + 2 <= limit
+    return myers_tier_fmt(cap, band, interpret) == "rows"
 
 
 class TpuAlignStage:
@@ -135,8 +156,9 @@ class TpuAlignStage:
             step = _chunk_size(cap, band)
             fixed_b = step if cap >= 5120 else None
             bp = padded_batch(step, fixed_b, False, 1)
-            fmt = ("myers" if tier_myers(cap, band, False)
-                   else walk_fmt(cap, cap, band, False, bp))
+            mfmt = myers_tier_fmt(cap, band, False)
+            fmt = ({"rows": "myers", "myers_rle": "myers_rle"}.get(mfmt)
+                   or walk_fmt(cap, cap, band, False, bp))
             specs.add((cap, band, bp, 0, -1, -1, fmt))
         prewarm_tiers_async(specs)
 
@@ -213,11 +235,16 @@ class TpuAlignStage:
 
         single_dev = active_mesh() is None
 
-        def _tier_myers(cap, band):
+        def _myers_fmt(cap, band):
             # real chips only; mesh dispatches shard the myers kernel
-            # per chip (parallel/mesh.py fmt="myers"); long caps route by
-            # payload size on tunneled links (module-level tier_myers)
-            return tier_myers(cap, band, self.interpret)
+            # per chip (parallel/mesh.py fmt="myers" - rows payload; the
+            # compact myers_rle form is single-device, so a mesh keeps
+            # rows); long caps route by payload size on slow links
+            # (module-level myers_tier_fmt)
+            mfmt = myers_tier_fmt(cap, band, self.interpret)
+            if mfmt == "myers_rle" and not single_dev:
+                mfmt = "rows"
+            return mfmt
 
         if not self.interpret:
             from .nw_kernel import (padded_batch, prewarm_tiers_async,
@@ -232,8 +259,10 @@ class TpuAlignStage:
                     for lo, hi, cbp in chunk_plan(k, step, False):
                         fixed_b = step if cap >= 5120 else cbp
                         bp = padded_batch(hi - lo, fixed_b, False, 1)
-                        fmt = ("myers" if _tier_myers(cap, band)
-                               else walk_fmt(cap, cap, band, False, bp))
+                        mfmt = _myers_fmt(cap, band)
+                        fmt = ({"rows": "myers",
+                                "myers_rle": "myers_rle"}.get(mfmt)
+                               or walk_fmt(cap, cap, band, False, bp))
                         specs.add((cap, band, bp, 0, -1, -1, fmt))
                 prewarm_tiers_async(specs)
 
@@ -311,12 +340,14 @@ class TpuAlignStage:
                 t4 = bindings.pack_rows_nib(tenc, toff_all[sel],
                                             toff_all[sel] + nlen[sel], cap,
                                             PAD_CODE, thr)
-                if _tier_myers(cap, band):
+                mfmt = _myers_fmt(cap, band)
+                if mfmt is not None:
                     payload, _, fmt = align_walk_myers_padded(
                         q4, t4, mlen[sel].astype(np.int32),
                         nlen[sel].astype(np.int32), m_cap=cap, n_cap=cap,
                         w_band=band,
-                        fixed_b=step if cap >= 5120 else cbp)
+                        fixed_b=step if cap >= 5120 else cbp,
+                        fmt=("rle" if mfmt == "myers_rle" else "rows"))
                 else:
                     # unit deletion costs everywhere: an all-ones bitmask
                     dcb = np.full((len(sel), cap // 8), 0xFF, np.uint8)

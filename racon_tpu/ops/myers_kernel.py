@@ -636,6 +636,92 @@ def myers_walk_t(planes, m, n, *, m_cap, n_cap, w_band, interpret=False):
     return payload, fin[1].astype(bool)
 
 
+# ------------------ compact-payload (rle) walk path ------------------- #
+#
+# The rows payload is m_cap + 2 bytes/item — at the 40960 long-read caps
+# that is 41 KB/item vs ~10.7 KB for the scored rle payload, and on a
+# measured-slow link the 4x D2H bytes invert the stage outcome even with
+# async prefetch (bandwidth, not latency; benchmarks/profile_long_ab.py).
+# The DIAG/UP bit planes store EXACTLY the scored kernel's move-equality
+# predicates (DIAG bit <=> h == diag_c, UP bit <=> h == up_c — the same
+# per-cell equivalence the rows walk's bit-identity rests on, PLAN.md
+# round-4 notes), so decoding them under the shared DIAG > UP > LEFT
+# priority reproduces nw_band_batch_t8's 2-bit move planes bit-for-bit at
+# every cell a walk can read — and the EXISTING rle walk
+# (nw_kernel.walk_moves_rle_t) then runs unchanged on the result.
+
+
+@functools.partial(jax.jit, static_argnames=("m_cap", "n_cap", "w_band"))
+def myers_moves_from_planes(planes, m, *, m_cap, n_cap, w_band):
+    """Scored-format move planes ((m_cap//16, W, B) int32, 16 rows' 2-bit
+    codes per word — nw_band_batch_t8's layout) from the Myers sweep's
+    plane blocks ((m_cap//rg, rg*2*nw, B) int32, myers_sweep_t's layout).
+
+    Per cell: code 0 where the DIAG bit is set, else 1 where UP, else 2;
+    3 outside the static band geometry (jrow < 1 or > n_cap) and beyond
+    the item's real rows (i > m — the scored planes hold PAD-row dynamics
+    there; no walk reads those cells, 3 keeps them inert either way).
+    Group-chunked lax.map bounds the unpacked (rg, W, B) temporary to a
+    few tens of MB — a flat (m_cap, W, B) intermediate would be ~17 GB at
+    the 40960/1024 tier (see PERF.md on tiled-layout padding)."""
+    W = w_band
+    nw = W // 32
+    G, blk, B = planes.shape
+    rg = blk // (2 * nw)
+    assert rg % 16 == 0 and G * rg == m_cap
+    dlo = band_dlo(m_cap, n_cap, W)
+    jbit = jnp.arange(32, dtype=jnp.int32).reshape(1, 1, 32, 1)
+    kidx = jnp.arange(W, dtype=jnp.int32).reshape(1, W, 1)
+    sh = (2 * jnp.arange(16, dtype=jnp.int32)).reshape(1, 16, 1, 1)
+    m2 = m.astype(jnp.int32).reshape(1, 1, B)
+    pl5 = planes.reshape(G, rg, 2, nw, B)
+
+    def group(args):
+        blk5, g = args  # (rg, 2, nw, B), scalar
+        db = ((blk5[:, 0, :, None, :] >> jbit) & 1).reshape(rg, W, B)
+        ub = ((blk5[:, 1, :, None, :] >> jbit) & 1).reshape(rg, W, B)
+        mv = jnp.where(db != 0, 0, jnp.where(ub != 0, 1, 2))
+        i = (g * rg
+             + jnp.arange(1, rg + 1, dtype=jnp.int32)).reshape(rg, 1, 1)
+        jrow = i + dlo + kidx
+        valid = (jrow >= 1) & (jrow <= n_cap) & (i <= m2)
+        mv = jnp.where(valid, mv, 3)
+        return jnp.sum(mv.reshape(rg // 16, 16, W, B) << sh,
+                       axis=1).astype(jnp.int32)
+
+    moves = jax.lax.map(group, (pl5, jnp.arange(G, dtype=jnp.int32)))
+    return moves.reshape(m_cap // 16, W, B)
+
+
+@functools.partial(jax.jit, static_argnames=("m_cap", "n_cap", "w_band",
+                                             "interpret"))
+def align_walk_myers_rle_batch(q4, t4, m, n, *, m_cap, n_cap, w_band,
+                               interpret=False):
+    """Fused Myers align + RLE walk: the Myers sweep's device-time win
+    (7.4-11.9x over the scored sweep) with the scored path's COMPACT rle
+    payload (~cap/4 bytes/item instead of the rows format's cap + 2) —
+    the long-read tiers' D2H bottleneck on slow links. Payload format and
+    decode are identical to the scored rle path
+    (bindings.opstream_rle_to_ops_batch)."""
+    from .nw_kernel import (_expand_nib_T, rle_events, walk_moves_rle_t)
+
+    qT = _expand_nib_T(q4.T, m_cap).astype(jnp.int32)
+    tT = _expand_nib_T(t4.T, n_cap).astype(jnp.int32)
+    rg = sweep_rows_g(m_cap, w_band)
+    peq = build_peq_win_T(tT, m_cap, n_cap, w_band, rg)
+    planes = myers_sweep_t(qT, peq, m_cap=m_cap, n_cap=n_cap,
+                           w_band=w_band, interpret=interpret)
+    moves = myers_moves_from_planes(planes, m, m_cap=m_cap, n_cap=n_cap,
+                                    w_band=w_band)
+    events, escaped = walk_moves_rle_t(
+        moves, m, n, m_cap=m_cap, n_cap=n_cap, w_band=w_band,
+        max_events=rle_events(m_cap, n_cap, w_band))
+    payload = jnp.concatenate([events, escaped[:, None].astype(jnp.uint8)],
+                              axis=1)
+    score = jnp.zeros((q4.shape[0], 1), jnp.int32)
+    return payload, score
+
+
 @functools.partial(jax.jit, static_argnames=("m_cap", "n_cap", "w_band",
                                              "interpret"))
 def align_walk_myers_batch(q4, t4, m, n, *, m_cap, n_cap, w_band,
@@ -661,14 +747,17 @@ def align_walk_myers_batch(q4, t4, m, n, *, m_cap, n_cap, w_band,
 
 
 def align_walk_myers_padded(q4, t4, m, n, *, m_cap, n_cap, w_band,
-                            fixed_b=None, interpret=False):
+                            fixed_b=None, interpret=False, fmt="rows"):
     """Batch-size-canonicalizing wrapper (align_walk_padded's padding
     policy): pads the nibble-packed batch to the canonical size with
     all-PAD items and dispatches the fused Myers align+walk — sharded
     over the active mesh when one exists (parallel/mesh.py, fmt
-    "myers"), single-device otherwise. Returns (payload, score, "rows")
-    — the payload is walk_rows_t-format, decoded by the align stage's
-    existing "rows" drain branch."""
+    "myers"), single-device otherwise. fmt picks the payload walk:
+    "rows" (walk_rows_t format, cap + 2 B/item) or "rle" (the compact
+    scored-rle format via the plane->move transform, ~cap/4 B/item —
+    single-device only; a mesh falls back to rows). Returns
+    (payload, score, payload_fmt) with payload_fmt naming the drain
+    decoder branch."""
     from .nw_kernel import padded_batch
     from ..parallel.mesh import active_mesh, sharded_align_walk
 
@@ -691,6 +780,11 @@ def align_walk_myers_padded(q4, t4, m, n, *, m_cap, n_cap, w_band,
             w_band=w_band, match=0, mismatch=-1, gap=-1,
             interpret=interpret, fmt="myers")
         return payload, score, "rows"
+    if fmt == "rle":
+        payload, score = align_walk_myers_rle_batch(
+            q4, t4, m, n, m_cap=m_cap, n_cap=n_cap, w_band=w_band,
+            interpret=interpret)
+        return payload, score, "rle"
     payload, score = align_walk_myers_batch(
         q4, t4, m, n, m_cap=m_cap, n_cap=n_cap, w_band=w_band,
         interpret=interpret)

@@ -514,6 +514,12 @@ def prewarm_tiers_async(specs) -> None:
                     align_walk_myers_batch.lower(
                         q4, q4, mm, mm, m_cap=cap, n_cap=cap,
                         w_band=band).compile()
+                elif fmt == "myers_rle":
+                    from .myers_kernel import align_walk_myers_rle_batch
+
+                    align_walk_myers_rle_batch.lower(
+                        q4, q4, mm, mm, m_cap=cap, n_cap=cap,
+                        w_band=band).compile()
                 else:
                     fn = {"rows": align_walk_rows_batch,
                           "rle": align_walk_rle_batch}.get(

@@ -243,3 +243,113 @@ def test_mesh_sharded_myers_matches_single():
         q8.astype(np.int32).T, t8.astype(np.int32).T, m, n,
         m_cap=128, n_cap=128, w_band=64)
     assert np.array_equal(np.asarray(payload), np.asarray(p_ref))
+
+
+def test_moves_from_planes_matches_scored_planes():
+    """myers_moves_from_planes must reproduce nw_band_batch_ref's 2-bit
+    move planes bit-for-bit at every cell a walk can read (i <= m,
+    in-band): the DIAG/UP predicates decode under the shared
+    DIAG > UP > LEFT priority to exactly the scored argmax codes."""
+    from racon_tpu.ops.myers_kernel import (build_peq_T,
+                                            myers_moves_from_planes,
+                                            myers_sweep_ref, sweep_rows_g)
+    from racon_tpu.ops.nw_kernel import band_dlo, nw_band_batch_ref
+
+    rng = np.random.default_rng(17)
+    m_cap = n_cap = 256
+    W = 128
+    pairs = []
+    for _ in range(8):
+        tlen = int(rng.integers(150, n_cap))
+        t = rng.choice(ACGT, tlen)
+        q = _mutate(rng, t, int(tlen * 0.15))[:m_cap]
+        pairs.append((q, t))
+    q8, t8, m, n = _panels(pairs, m_cap, n_cap)
+    B = len(m)
+
+    gc = np.zeros((B, n_cap + 1), np.int32)
+    gc[:, 1:] = -np.cumsum(np.ones((B, n_cap), np.int32), axis=1)
+    moves_ref, _ = nw_band_batch_ref(
+        q8.astype(np.int32), t8.astype(np.int32), gc, m_cap=m_cap,
+        n_cap=n_cap, w_band=W, match=0, mismatch=-1, gap=-1)
+    # the ref pads its batch to B_TILE: keep the real items only
+    want = np.asarray(moves_ref)[:B].transpose(1, 2, 0)  # (m/16, W, B)
+
+    import jax.numpy as jnp
+    qT = jnp.asarray(q8.astype(np.int32).T)
+    tT = jnp.asarray(t8.astype(np.int32).T)
+    planes = np.asarray(myers_sweep_ref(qT, build_peq_T(tT, n_cap, W),
+                                        m_cap=m_cap, n_cap=n_cap, w_band=W))
+    rg = sweep_rows_g(m_cap, W)
+    planes_t = planes.reshape(m_cap // rg, rg * 2 * (W // 32), B)
+    got = np.asarray(myers_moves_from_planes(planes_t, m, m_cap=m_cap,
+                                             n_cap=n_cap, w_band=W))
+    assert got.shape == want.shape
+
+    def unpack(mv):
+        u = (2 * np.arange(16))[None, :, None, None]
+        return ((mv[:, None] >> u) & 3).reshape(m_cap, W, B)
+
+    i = np.arange(1, m_cap + 1)[:, None, None]
+    k = np.arange(W)[None, :, None]
+    jrow = i + band_dlo(m_cap, n_cap, W) + k
+    # readable region: walks only touch cells with i <= m and jrow <= n
+    # (the rle run-scan shifts out all groups ABOVE the current row and
+    # clamps runs by min(i, j); beyond-n cells hold scored PAD dynamics
+    # vs Myers mismatch semantics and legitimately differ)
+    mask = ((jrow >= 1) & (jrow <= n[None, None, :])
+            & (i <= m[None, None, :]))
+    assert np.array_equal(unpack(want)[mask], unpack(got)[mask])
+
+
+def test_myers_rle_walk_matches_scored_ops():
+    """Myers planes -> move transform -> the EXISTING rle walk must
+    decode to the same op lists as the scored packed2 oracle (the same
+    identity contract the rows walk carries), across mutation rates and
+    length mismatch."""
+    from racon_tpu.ops.myers_kernel import (build_peq_T,
+                                            myers_moves_from_planes,
+                                            myers_sweep_ref, sweep_rows_g)
+    from racon_tpu.ops.nw_kernel import rle_events, walk_moves_rle_t
+
+    rng = np.random.default_rng(23)
+    m_cap = n_cap = 256
+    W = 128
+    pairs = []
+    for rate in (0.02, 0.1, 0.25):
+        for _ in range(4):
+            tlen = int(rng.integers(120, n_cap))
+            t = rng.choice(ACGT, tlen)
+            q = _mutate(rng, t, int(tlen * rate))[:m_cap]
+            pairs.append((q, t))
+    q8, t8, m, n = _panels(pairs, m_cap, n_cap)
+    B = len(m)
+
+    import jax.numpy as jnp
+    qT = jnp.asarray(q8.astype(np.int32).T)
+    tT = jnp.asarray(t8.astype(np.int32).T)
+    planes = np.asarray(myers_sweep_ref(qT, build_peq_T(tT, n_cap, W),
+                                        m_cap=m_cap, n_cap=n_cap, w_band=W))
+    rg = sweep_rows_g(m_cap, W)
+    planes_t = planes.reshape(m_cap // rg, rg * 2 * (W // 32), B)
+    moves = myers_moves_from_planes(planes_t, m, m_cap=m_cap, n_cap=n_cap,
+                                    w_band=W)
+    events, escaped = walk_moves_rle_t(
+        moves, m, n, m_cap=m_cap, n_cap=n_cap, w_band=W,
+        max_events=rle_events(m_cap, n_cap, W))
+    ops, off, cnt = bindings.opstream_rle_to_ops_batch(
+        np.ascontiguousarray(np.asarray(events)),
+        rle_events(m_cap, n_cap, W), m, n, 2)
+    esc = np.asarray(escaped)
+
+    w_ops, w_off, w_cnt, w_esc = _decode_packed2(q8, t8, m, n, m_cap,
+                                                 n_cap, W)
+    n_checked = 0
+    for b in range(B):
+        if esc[b] or w_esc[b]:
+            continue
+        a = ops[int(off[b]) : int(off[b]) + int(cnt[b])]
+        w = w_ops[int(w_off[b]) : int(w_off[b]) + int(w_cnt[b])]
+        assert np.array_equal(a, w), f"item {b}"
+        n_checked += 1
+    assert n_checked >= B - 2  # escapes must stay rare on these inputs
