@@ -178,3 +178,32 @@ def test_link_probe_threshold_routing(monkeypatch):
     assert not stage._will_use_gather()
     monkeypatch.setenv("RACON_TPU_DEVGATHER", "1")
     assert stage._will_use_gather()
+
+
+def test_myers_tier_fmt_routing(monkeypatch):
+    """Payload-format routing for the Myers kernel (r5): rows on fast
+    attaches and small payloads; the compact myers_rle walk at long caps
+    on slow links; RACON_TPU_MYERS_RLE=0 falls back to the scored path
+    (None); RACON_TPU_MYERS=0 kills everything."""
+    from racon_tpu.ops.align_stage_tpu import myers_tier_fmt, tier_myers
+    from racon_tpu.utils import jaxenv
+
+    assert myers_tier_fmt(2560, 512, True) is None  # interpret -> scored
+
+    monkeypatch.setattr(jaxenv, "slow_link", lambda: False)
+    assert myers_tier_fmt(40960, 1024, False) == "rows"
+
+    monkeypatch.setattr(jaxenv, "slow_link", lambda: True)
+    assert myers_tier_fmt(2560, 512, False) == "rows"    # 2.5 KB payload
+    assert myers_tier_fmt(10240, 1024, False) == "rows"  # 10 KB payload
+    assert myers_tier_fmt(40960, 1024, False) == "myers_rle"
+    assert myers_tier_fmt(40960, 4096, False) == "myers_rle"
+    # tier_myers stays the rows-gate predicate (back-compat)
+    assert tier_myers(10240, 1024, False)
+    assert not tier_myers(40960, 1024, False)
+
+    monkeypatch.setenv("RACON_TPU_MYERS_RLE", "0")
+    assert myers_tier_fmt(40960, 1024, False) is None  # scored fallback
+    monkeypatch.delenv("RACON_TPU_MYERS_RLE")
+    monkeypatch.setenv("RACON_TPU_MYERS", "0")
+    assert myers_tier_fmt(2560, 512, False) is None
