@@ -243,13 +243,21 @@ def main():
         t2 = time.time()
         tag = "one-shot" if it == 0 else "warm"
         n_win = p.windows.num_windows
-        print(f"[{tag}] initialize (parse+align+window): {t1-t0:.1f}s",
-              flush=True)
+        try:  # session-condition stamp (docs/PERF.md: compare same-probe)
+            from racon_tpu.utils.jaxenv import link_probe_ms
+
+            probe = link_probe_ms()
+            probe = None if probe is None else round(probe, 1)
+        except Exception:
+            probe = None
+        print(f"[{tag}] initialize (parse+align+window): {t1-t0:.1f}s "
+              f"(probe {probe} ms/4MB)", flush=True)
         print(f"[{tag}] polish ({n_win} windows): {t2-t1:.1f}s "
               f"({n_win/(t2-t1):.0f} windows/s)", flush=True)
         runs.append({"initialize_s": round(t1 - t0, 1),
                      "polish_s": round(t2 - t1, 1),
-                     "windows_per_s": round(n_win / (t2 - t1), 1)})
+                     "windows_per_s": round(n_win / (t2 - t1), 1),
+                     "probe_ms": probe})
     n_win = p.windows.num_windows
     from racon_tpu.native import bindings
 
