@@ -148,3 +148,28 @@ def test_accelerator_depth_cap_and_band_knobs():
     tiers = astm._TIERS
     filtered = tuple(t for t in tiers if t[1] >= cfg.band_width)
     assert filtered and all(b >= 2048 for _, b in filtered)
+
+
+def test_prefetch_pool_and_disable(monkeypatch):
+    """ops/prefetch basics: RACON_TPU_FETCH_THREADS=0 disables the pool
+    (callers then fetch inline), a positive count returns a future whose
+    resolve() yields the host array; resolve(payload, None) is the
+    inline path."""
+    import numpy as np
+
+    from racon_tpu.ops import prefetch
+
+    monkeypatch.setenv("RACON_TPU_FETCH_THREADS", "0")
+    assert prefetch.submit(np.arange(4)) is None
+    arr = np.arange(4)
+    assert np.array_equal(prefetch.resolve(arr, None), arr)
+
+    monkeypatch.setenv("RACON_TPU_FETCH_THREADS", "2")
+    fut = prefetch.submit(np.arange(3))
+    assert fut is not None
+    assert np.array_equal(prefetch.resolve(None, fut), np.arange(3))
+
+    # malformed env falls back to the default worker count
+    monkeypatch.setenv("RACON_TPU_FETCH_THREADS", "bogus")
+    fut = prefetch.submit(np.arange(2))
+    assert fut is not None and np.array_equal(fut.result(), np.arange(2))
